@@ -1,0 +1,502 @@
+"""The in-context ViT shared by Painter and SegGPT — functional JAX core.
+
+One model family, two presets (see :mod:`painter_tpu.configs`): Painter and
+SegGPT differ only in the SegGPT seg-type tokens, the feature-ensemble hooks,
+and two loss details. Behavioral contract from
+``Painter/models_painter.py:238-487`` and
+``SegGPT/SegGPT_inference/models_seggpt.py:241-494``:
+
+- two token streams x=patch_embed(imgs), y=patch_embed(tgts); masked y
+  positions replaced by a learned mask token; per-stream segment tokens;
+  shared bicubic-resized absolute pos-embed added to both (:385-406);
+- streams concatenated on the batch axis for the first ``merge_idx+1``
+  blocks, then averaged into one stream (:408-415);
+- encoder taps: final-norm'ed features at blocks ``out_indices``
+  (default {5,11,17,23}) feed the decoder (:416-418);
+- decoder: channel-concat of 4 taps -> Linear(4C, p^2 * dec_dim) ->
+  pixel-shuffle -> Conv3x3 -> LayerNorm2D -> GELU -> Conv1x1 -> 3
+  (:326-333, :420-431);
+- loss: masked smooth-L1 (beta=0.01) weighted by the per-pixel valid map
+  (:433-462); Painter adds 1e-2 to the denominator and zeroes ``valid``
+  for samples whose unmasked target is near-black; SegGPT does neither
+  (models_seggpt.py:448-469);
+- SegGPT feature ensemble: for blocks >= ``merge_between_batch``, the
+  bottom-half (query) tokens are averaged across the prompt batch
+  (models_seggpt.py:207-238, 425-429).
+
+TPU-first design notes (not a translation):
+- NHWC everywhere; params stored fp32; compute dtype configurable (bf16 on
+  TPU); LayerNorm statistics and softmax in fp32.
+- Blocks run under ``lax.scan`` over stacked (depth, ...) parameters,
+  segmented at the static tap/ensemble boundaries, so the trunk traces one
+  block body instead of 24 (fast compiles, remat-friendly).
+- Relative-position tables are stored at the full-grid size for every
+  block and interpolated on the fly (the same path that serves eval at a
+  different resolution, ``vitdet_utils.py:63-93``). The released
+  checkpoints are all-global so this is exact for them; for *windowed*
+  blocks this derives the window table by interpolation — a documented
+  deviation that keeps block params stackable.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from painter_tpu.configs import IMAGENET_MEAN, IMAGENET_STD, ModelConfig
+from painter_tpu.ops.attention import attention
+from painter_tpu.ops.norm import layer_norm
+from painter_tpu.ops.patches import patchify, unpatchify
+from painter_tpu.ops.pos_embed import get_abs_pos
+from painter_tpu.ops.windows import window_partition, window_unpartition
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def _kaiming_uniform(key, shape, fan_in, dtype=jnp.float32):
+    # torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(-b, b),
+    # b = sqrt(6 / ((1 + 5) * fan_in)) = 1/sqrt(fan_in).
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    """Build the fp32 parameter pytree. Block params are stacked (depth,...)."""
+    keys = iter(jax.random.split(key, 64))
+    d = cfg.embed_dim
+    p = cfg.patch_size
+    hd = cfg.head_dim
+    gh, gw = cfg.grid_size
+    depth = cfg.depth
+    mlp_dim = int(d * cfg.mlp_ratio)
+    dec = cfg.decoder_embed_dim
+
+    params: Params = {
+        "patch_embed": {
+            "kernel": _kaiming_uniform(next(keys), (p, p, cfg.in_chans, d),
+                                       fan_in=cfg.in_chans * p * p),
+            "bias": _kaiming_uniform(next(keys), (d,),
+                                     fan_in=cfg.in_chans * p * p),
+        },
+        "mask_token": _trunc_normal(next(keys), (d,)),
+        "segment_token_x": _trunc_normal(next(keys), (d,)),
+        "segment_token_y": _trunc_normal(next(keys), (d,)),
+        "norm": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+        "decoder_embed": {
+            "kernel": _trunc_normal(next(keys), (4 * d, p * p * dec)),
+            "bias": jnp.zeros((p * p * dec,)),
+        },
+        "decoder_pred": {
+            "conv1": {
+                "kernel": _kaiming_uniform(next(keys), (3, 3, dec, dec),
+                                           fan_in=9 * dec),
+                "bias": _kaiming_uniform(next(keys), (dec,), fan_in=9 * dec),
+            },
+            "ln": {"scale": jnp.ones((dec,)), "bias": jnp.zeros((dec,))},
+            "conv2": {
+                "kernel": _kaiming_uniform(next(keys), (1, 1, dec, 3),
+                                           fan_in=dec),
+                "bias": _kaiming_uniform(next(keys), (3,), fan_in=dec),
+            },
+        },
+    }
+    if cfg.use_abs_pos:
+        n_pre = (cfg.pretrain_img_size // p) ** 2
+        n_pos = n_pre + (1 if cfg.pretrain_use_cls_token else 0)
+        params["pos_embed"] = _trunc_normal(next(keys), (n_pos, d))
+    if cfg.seg_type_tokens:
+        params["type_token_cls"] = _trunc_normal(next(keys), (d,))
+        params["type_token_ins"] = _trunc_normal(next(keys), (d,))
+
+    def stack_init(fn):
+        return jnp.stack([fn(k) for k in jax.random.split(next(keys), depth)])
+
+    blocks: Params = {
+        "norm1": {"scale": jnp.ones((depth, d)), "bias": jnp.zeros((depth, d))},
+        "norm2": {"scale": jnp.ones((depth, d)), "bias": jnp.zeros((depth, d))},
+        "attn": {
+            "qkv": {
+                "kernel": stack_init(
+                    lambda k: _trunc_normal(k, (d, 3 * d))),
+                "bias": jnp.zeros((depth, 3 * d)),
+            },
+            "proj": {
+                "kernel": stack_init(
+                    lambda k: _trunc_normal(k, (d, d))),
+                "bias": jnp.zeros((depth, d)),
+            },
+        },
+        "mlp": {
+            "fc1": {
+                "kernel": stack_init(
+                    lambda k: _trunc_normal(k, (d, mlp_dim))),
+                "bias": jnp.zeros((depth, mlp_dim)),
+            },
+            "fc2": {
+                "kernel": stack_init(
+                    lambda k: _trunc_normal(k, (mlp_dim, d))),
+                "bias": jnp.zeros((depth, d)),
+            },
+        },
+    }
+    if cfg.use_rel_pos:
+        # Full-grid tables for every block (rel_pos_zero_init=True in the
+        # reference factories -> zeros).
+        blocks["attn"]["rel_pos_h"] = jnp.zeros((depth, 2 * gh - 1, hd))
+        blocks["attn"]["rel_pos_w"] = jnp.zeros((depth, 2 * gw - 1, hd))
+    params["blocks"] = blocks
+    return params
+
+
+def _slice_block(blocks: Params, i) -> Params:
+    return jax.tree_util.tree_map(lambda a: a[i], blocks)
+
+
+# ---------------------------------------------------------------------------
+# Block
+# ---------------------------------------------------------------------------
+
+def _mlp(bp: Params, x: jnp.ndarray) -> jnp.ndarray:
+    x = x @ bp["fc1"]["kernel"].astype(x.dtype) + bp["fc1"]["bias"].astype(x.dtype)
+    x = jax.nn.gelu(x, approximate=False)
+    x = x @ bp["fc2"]["kernel"].astype(x.dtype) + bp["fc2"]["bias"].astype(x.dtype)
+    return x
+
+
+def _drop_path(x: jnp.ndarray, rate, key: Optional[jax.Array],
+               train: bool) -> jnp.ndarray:
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+    if not train or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / jnp.asarray(keep, x.dtype)
+
+
+def _feature_ensemble(x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """SegGPT multi-prompt ensemble (models_seggpt.py:221-230).
+
+    Splits the token grid along height into (prompt-half, query-half) and
+    replaces the query-half with its mean over the prompt batch. Before the
+    stream merge the batch holds the x- and y-streams stacked (groups=2);
+    after it groups=1.
+    """
+    hp = x.shape[1] // 2
+    prompt, inputs = x[:, :hp], x[:, hp:]
+    b = x.shape[0]
+    n = b // groups
+    pooled = inputs.reshape(groups, n, *inputs.shape[1:]).mean(
+        axis=1, keepdims=True)
+    inputs = jnp.broadcast_to(
+        pooled, (groups, n) + inputs.shape[1:]).reshape(inputs.shape)
+    return jnp.concatenate([prompt, inputs], axis=1)
+
+
+def block_apply(bp: Params, x: jnp.ndarray, cfg: ModelConfig, *,
+                window_size: int = 0, dpr=0.0,
+                ensemble_groups: int = 0,
+                train: bool = False, rng: Optional[jax.Array] = None,
+                attn_impl: str = "xla") -> jnp.ndarray:
+    """One transformer block over an (B, H, W, C) grid."""
+    b, h, w, _ = x.shape
+    shortcut = x
+    xn = layer_norm(x, bp["norm1"]["scale"], bp["norm1"]["bias"], cfg.ln_eps)
+
+    if window_size > 0:
+        xn, pad_hw = window_partition(xn, window_size)
+        hw = (window_size, window_size)
+    else:
+        hw = (h, w)
+    rel = None
+    if cfg.use_rel_pos:
+        rel = (bp["attn"]["rel_pos_h"], bp["attn"]["rel_pos_w"])
+    att = attention(xn, bp["attn"], cfg.num_heads, hw, rel_pos=rel,
+                    impl=attn_impl)
+    if window_size > 0:
+        att = window_unpartition(att, window_size, pad_hw, (h, w))
+
+    if ensemble_groups:
+        att = _feature_ensemble(att, ensemble_groups)
+
+    k1 = k2 = None
+    if train and rng is not None:
+        k1, k2 = jax.random.split(rng)
+    x = shortcut + _drop_path(att, dpr, k1, train)
+    xm = _mlp(bp["mlp"], layer_norm(x, bp["norm2"]["scale"],
+                                    bp["norm2"]["bias"], cfg.ln_eps))
+    x = x + _drop_path(xm, dpr, k2, train)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _dpr_schedule(cfg: ModelConfig) -> np.ndarray:
+    return np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+
+
+def _block_plan(cfg: ModelConfig, merge_between_batch: int):
+    """Static per-block (window_size, ensemble_groups, tap?) plan."""
+    plan = []
+    for i in range(cfg.depth):
+        ws = cfg.window_size if i in cfg.window_block_indexes else 0
+        groups = 0
+        if merge_between_batch >= 0 and i >= merge_between_batch:
+            # merge=1 (two stream-groups) up to and incl. the stream-merge
+            # block, merge=2 (one group) after (models_seggpt.py:425-429).
+            groups = 2 if cfg.merge_idx >= i else 1
+        plan.append((ws, groups, i in cfg.out_indices))
+    return plan
+
+
+def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
+                    tgts: jnp.ndarray, bool_masked_pos: jnp.ndarray,
+                    seg_type: Optional[jnp.ndarray] = None,
+                    merge_between_batch: int = -1, train: bool = False,
+                    rng: Optional[jax.Array] = None,
+                    attn_impl: str = "xla",
+                    remat: bool = False) -> List[jnp.ndarray]:
+    """imgs/tgts (B, H, W, 3) NHWC -> list of tapped features (B,Hp,Wp,C)."""
+    dtype = cfg.compute_dtype
+    kernel = params["patch_embed"]["kernel"].astype(dtype)
+    bias = params["patch_embed"]["bias"].astype(dtype)
+
+    def embed(im):
+        y = jax.lax.conv_general_dilated(
+            im.astype(dtype), kernel,
+            window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias
+
+    x = embed(imgs)
+    y = embed(tgts)
+    b, hp, wp, _ = x.shape
+
+    m = bool_masked_pos.astype(dtype).reshape(b, hp, wp, 1)
+    y = y * (1.0 - m) + params["mask_token"].astype(dtype) * m
+
+    x = x + params["segment_token_x"].astype(dtype)
+    y = y + params["segment_token_y"].astype(dtype)
+    if cfg.use_abs_pos:
+        pos = get_abs_pos(params["pos_embed"], cfg.pretrain_use_cls_token,
+                          (hp, wp)).astype(dtype)
+        x = x + pos
+        y = y + pos
+
+    if cfg.seg_type_tokens:
+        if seg_type is None:
+            seg_type = jnp.zeros((b, 1), jnp.int32)
+        st = seg_type.reshape(b).astype(jnp.int32)
+        type_emb = jnp.where(
+            (st == 1)[:, None],
+            params["type_token_ins"].astype(dtype)[None],
+            params["type_token_cls"].astype(dtype)[None])[:, None, None, :]
+        x = x + type_emb
+        y = y + type_emb
+
+    x = jnp.concatenate([x, y], axis=0)
+
+    dpr = _dpr_schedule(cfg)
+    plan = _block_plan(cfg, merge_between_batch)
+    blocks = params["blocks"]
+
+    def make_block(ws: int, groups: int):
+        def fn(bp, h, rate, key):
+            return block_apply(bp, h, cfg, window_size=ws, dpr=rate,
+                               ensemble_groups=groups, train=train,
+                               rng=key, attn_impl=attn_impl)
+        return jax.checkpoint(fn) if remat else fn
+
+    def step_rng(i):
+        return None if rng is None else jax.random.fold_in(rng, i)
+
+    for t in cfg.out_indices:
+        assert t >= cfg.merge_idx, (
+            "taps before the stream merge would mix batch sizes")
+
+    taps: List[jnp.ndarray] = []
+
+    # --- prefix: idx 0..merge_idx, double-batch, unrolled (3 blocks) ---
+    i = 0
+    while i <= cfg.merge_idx:
+        ws, groups, _ = plan[i]
+        x = make_block(ws, groups)(_slice_block(blocks, i), x, dpr[i],
+                                   step_rng(i))
+        if i == cfg.merge_idx:
+            half = x.shape[0] // 2
+            x = (x[:half] + x[half:]) * 0.5
+        if plan[i][2]:
+            taps.append(x)
+        i += 1
+
+    # --- trunk: scan segments between static boundaries ---
+    # A segment is a maximal run of blocks with identical (window, groups)
+    # static plan and no interior tap, so one traced body serves the run.
+    while i < cfg.depth:
+        j = i
+        while (j + 1 < cfg.depth and plan[j + 1][:2] == plan[i][:2]
+               and not plan[j][2]):
+            j += 1
+        seg = list(range(i, j + 1))
+        ws, groups, _ = plan[i]
+        block_fn = make_block(ws, groups)
+        if len(seg) == 1:
+            x = block_fn(_slice_block(blocks, i), x, dpr[i], step_rng(i))
+        else:
+            seg_params = jax.tree_util.tree_map(
+                lambda a: a[seg[0]:seg[-1] + 1], blocks)
+            seg_dpr = jnp.asarray(dpr[seg[0]:seg[-1] + 1], jnp.float32)
+            if rng is not None:
+                seg_keys = jax.vmap(
+                    lambda s: jax.random.fold_in(rng, s))(
+                        jnp.asarray(seg, jnp.uint32))
+                xs = (seg_params, seg_dpr, seg_keys)
+                body = lambda c, inp: (block_fn(inp[0], c, inp[1], inp[2]),
+                                       None)
+            else:
+                xs = (seg_params, seg_dpr)
+                body = lambda c, inp: (block_fn(inp[0], c, inp[1], None),
+                                       None)
+            x, _ = jax.lax.scan(body, x, xs)
+        for s in seg:
+            if plan[s][2]:
+                taps.append(x)
+        i = j + 1
+
+    norm_s = params["norm"]["scale"]
+    norm_b = params["norm"]["bias"]
+    return [layer_norm(t, norm_s, norm_b, cfg.ln_eps) for t in taps]
+
+
+# ---------------------------------------------------------------------------
+# Decoder, loss, full forward
+# ---------------------------------------------------------------------------
+
+def forward_decoder(params: Params, cfg: ModelConfig,
+                    feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """4 tapped features -> painted prediction (B, H, W, 3)."""
+    x = jnp.concatenate(list(feats), axis=-1)  # (B, Hp, Wp, 4C)
+    dtype = x.dtype
+    de = params["decoder_embed"]
+    x = x @ de["kernel"].astype(dtype) + de["bias"].astype(dtype)
+    b, h, w, _ = x.shape
+    p = cfg.patch_size
+    dec = cfg.decoder_embed_dim
+    # pixel shuffle: (B, h, w, p*p*dec) -> (B, h*p, w*p, dec)
+    x = x.reshape(b, h, w, p, p, dec)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * p, w * p, dec)
+
+    dp = params["decoder_pred"]
+    x = jax.lax.conv_general_dilated(
+        x, dp["conv1"]["kernel"].astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + dp["conv1"]["bias"].astype(dtype)
+    x = layer_norm(x, dp["ln"]["scale"], dp["ln"]["bias"], eps=1e-6)
+    x = jax.nn.gelu(x, approximate=False)
+    x = jax.lax.conv_general_dilated(
+        x, dp["conv2"]["kernel"].astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + dp["conv2"]["bias"].astype(dtype)
+    return x
+
+
+def pixel_mask_from_patch_mask(bool_masked_pos: jnp.ndarray,
+                               cfg: ModelConfig,
+                               hw: Tuple[int, int]) -> jnp.ndarray:
+    """(B, L) patch mask -> (B, H, W, 1) per-pixel mask."""
+    b = bool_masked_pos.shape[0]
+    gh, gw = hw[0] // cfg.patch_size, hw[1] // cfg.patch_size
+    m = bool_masked_pos.reshape(b, gh, gw).astype(jnp.float32)
+    m = jnp.repeat(jnp.repeat(m, cfg.patch_size, axis=1),
+                   cfg.patch_size, axis=2)
+    return m[..., None]
+
+
+def forward_loss(cfg: ModelConfig, pred: jnp.ndarray, tgts: jnp.ndarray,
+                 bool_masked_pos: jnp.ndarray,
+                 valid: jnp.ndarray) -> jnp.ndarray:
+    """Masked, valid-weighted regression loss (models_painter.py:433-462)."""
+    pred = pred.astype(jnp.float32)
+    tgts = tgts.astype(jnp.float32)
+    valid = valid.astype(jnp.float32)
+    mask = pixel_mask_from_patch_mask(bool_masked_pos, cfg, tgts.shape[1:3])
+
+    if cfg.near_black_check:
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+        denorm = tgts * std + mean
+        unmasked_sum = (denorm * (1.0 - mask)).sum(axis=(1, 2, 3))
+        ignore = unmasked_sum < 100.0 * 3
+        valid = jnp.where(ignore[:, None, None, None], 0.0, valid)
+
+    mask = mask * valid
+
+    diff = pred - tgts
+    if cfg.loss_func == "l1l2":
+        loss = (jnp.abs(diff) + diff ** 2) * 0.5
+    elif cfg.loss_func == "l1":
+        loss = jnp.abs(diff)
+    elif cfg.loss_func == "l2":
+        loss = diff ** 2
+    elif cfg.loss_func == "smoothl1":
+        beta = 0.01
+        loss = jnp.where(jnp.abs(diff) < beta,
+                         0.5 * diff ** 2 / beta,
+                         jnp.abs(diff) - 0.5 * beta)
+    else:
+        raise ValueError(cfg.loss_func)
+    return (loss * mask).sum() / (mask.sum() + cfg.loss_denom_eps)
+
+
+def forward(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
+            tgts: jnp.ndarray, bool_masked_pos: Optional[jnp.ndarray] = None,
+            valid: Optional[jnp.ndarray] = None,
+            seg_type: Optional[jnp.ndarray] = None,
+            merge_between_batch: int = -1, train: bool = False,
+            rng: Optional[jax.Array] = None, attn_impl: str = "xla",
+            remat: bool = False):
+    """Full forward. Returns (loss, patchified pred, bool_masked_pos),
+
+    mirroring ``models_painter.py:464-472`` (NHWC in/out)."""
+    b = imgs.shape[0]
+    num_patches = (imgs.shape[1] // cfg.patch_size) * \
+                  (imgs.shape[2] // cfg.patch_size)
+    if bool_masked_pos is None:
+        bool_masked_pos = jnp.zeros((b, num_patches), jnp.float32)
+    else:
+        bool_masked_pos = bool_masked_pos.reshape(b, -1)
+    if valid is None:
+        valid = jnp.ones_like(tgts)
+    feats = forward_encoder(params, cfg, imgs, tgts, bool_masked_pos,
+                            seg_type=seg_type,
+                            merge_between_batch=merge_between_batch,
+                            train=train, rng=rng, attn_impl=attn_impl,
+                            remat=remat)
+    pred = forward_decoder(params, cfg, feats)
+    loss = forward_loss(cfg, pred, tgts, bool_masked_pos, valid)
+    return loss, patchify(pred.astype(jnp.float32), cfg.patch_size), \
+        bool_masked_pos
+
+
+def predict_image(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
+                  tgts: jnp.ndarray, bool_masked_pos: jnp.ndarray,
+                  seg_type: Optional[jnp.ndarray] = None,
+                  merge_between_batch: int = -1,
+                  attn_impl: str = "xla") -> jnp.ndarray:
+    """Inference-only path -> painted prediction (B, H, W, 3), no loss."""
+    feats = forward_encoder(params, cfg, imgs, tgts,
+                            bool_masked_pos.reshape(imgs.shape[0], -1),
+                            seg_type=seg_type,
+                            merge_between_batch=merge_between_batch,
+                            train=False, attn_impl=attn_impl)
+    return forward_decoder(params, cfg, feats).astype(jnp.float32)

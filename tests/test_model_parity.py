@@ -1,0 +1,116 @@
+"""End-to-end numerical parity of the JAX model vs the torch oracle.
+
+The oracle (tests/torch_ref.py) implements the reference math
+(models_painter.py / models_seggpt.py) in float64 over our param pytree;
+the JAX model runs fp32, so we accept ~1e-4 absolute error.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from painter_tpu import configs
+from painter_tpu.models import incontext_vit as m
+from painter_tpu.ops.patches import unpatchify
+
+from torch_ref import torch_forward
+
+RNG = np.random.RandomState(42)
+
+
+def _mk(cfg, batch=2, img_size=None):
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    # randomize the zero-init rel-pos tables so the bias path is exercised
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    leaves = [l + 0.02 * jax.random.normal(k, l.shape)
+              for l, k in zip(leaves, keys)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    h, w = img_size or cfg.img_size
+    imgs = RNG.randn(batch, h, w, 3).astype(np.float32)
+    tgts = RNG.randn(batch, h, w, 3).astype(np.float32)
+    num_patches = (h // cfg.patch_size) * (w // cfg.patch_size)
+    mask = np.zeros((batch, num_patches), np.float32)
+    mask[:, num_patches // 2:] = 1.0
+    valid = np.ones((batch, h, w, 3), np.float32)
+    return params, imgs, tgts, mask, valid
+
+
+def _compare(cfg, params, imgs, tgts, mask, valid, seg_type=None,
+             merge_between_batch=-1, atol=2e-4):
+    loss, pred_patches, _ = m.forward(
+        params, cfg, jnp.asarray(imgs), jnp.asarray(tgts), jnp.asarray(mask),
+        jnp.asarray(valid),
+        seg_type=None if seg_type is None else jnp.asarray(seg_type),
+        merge_between_batch=merge_between_batch)
+    pred = np.asarray(unpatchify(pred_patches, cfg.patch_size))
+    ref_loss, ref_pred = torch_forward(params, cfg, imgs, tgts, mask, valid,
+                                       seg_type=seg_type,
+                                       merge_between_batch=merge_between_batch)
+    np.testing.assert_allclose(pred, ref_pred, atol=atol)
+    np.testing.assert_allclose(float(loss), ref_loss, atol=atol)
+
+
+def test_painter_parity():
+    cfg = configs.tiny_test_config(img_size=(128, 64), patch_size=16,
+                                   embed_dim=64, num_heads=4,
+                                   pretrain_img_size=64)
+    _compare(cfg, *_mk(cfg))
+
+
+def test_painter_parity_near_black_ignore():
+    cfg = configs.tiny_test_config(img_size=(64, 32), pretrain_img_size=32)
+    params, imgs, tgts, mask, valid = _mk(cfg)
+    # make sample 0's unmasked target near-black after de-normalization
+    mean = np.array(configs.IMAGENET_MEAN)
+    std = np.array(configs.IMAGENET_STD)
+    tgts[0] = (0.0 - mean) / std
+    _compare(cfg, params, imgs, tgts, mask, valid)
+
+
+def test_seggpt_parity_with_type_tokens():
+    cfg = configs.tiny_test_config(seg_type_tokens=True, loss_denom_eps=0.0,
+                                   near_black_check=False)
+    params, imgs, tgts, mask, valid = _mk(cfg)
+    seg_type = np.array([[0], [1]], np.int32)
+    _compare(cfg, params, imgs, tgts, mask, valid, seg_type=seg_type)
+
+
+def test_seggpt_parity_feature_ensemble():
+    # multi-prompt ensemble: merge_between_batch=0 (seggpt_engine.py:46)
+    cfg = configs.tiny_test_config(seg_type_tokens=True, loss_denom_eps=0.0,
+                                   near_black_check=False)
+    params, imgs, tgts, mask, valid = _mk(cfg, batch=3)
+    seg_type = np.zeros((3, 1), np.int32)
+    _compare(cfg, params, imgs, tgts, mask, valid, seg_type=seg_type,
+             merge_between_batch=0)
+
+
+def test_parity_windowed_blocks():
+    cfg = configs.tiny_test_config(window_block_indexes=(1, 3, 4),
+                                   window_size=3)
+    _compare(cfg, *_mk(cfg))
+
+
+def test_parity_eval_resolution_change():
+    # model trained at (64,32), evaluated at (96,48): abs-pos bicubic and
+    # rel-pos linear interpolation paths (vitdet_utils.py:75-93,128-157)
+    cfg = configs.tiny_test_config(img_size=(64, 32), pretrain_img_size=32)
+    params, *_ = _mk(cfg)
+    cfg_eval = cfg.with_img_size((96, 48))
+    _, imgs, tgts, mask, valid = _mk(cfg_eval, img_size=(96, 48))
+    _compare(cfg_eval, params, imgs, tgts, mask, valid)
+
+
+def test_train_mode_runs_and_remat_matches():
+    cfg = configs.tiny_test_config(drop_path_rate=0.2)
+    params, imgs, tgts, mask, valid = _mk(cfg)
+    args = (params, cfg, jnp.asarray(imgs), jnp.asarray(tgts),
+            jnp.asarray(mask), jnp.asarray(valid))
+    rng = jax.random.PRNGKey(5)
+    l1, _, _ = m.forward(*args, train=True, rng=rng)
+    l2, _, _ = m.forward(*args, train=True, rng=rng, remat=True)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    # deterministic across calls with the same key
+    l3, _, _ = m.forward(*args, train=True, rng=rng)
+    assert float(l1) == float(l3)
