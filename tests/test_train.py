@@ -1,0 +1,153 @@
+"""Training: optimizer semantics, sharded train step, loss descent."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from painter_tpu import configs
+from painter_tpu.models import incontext_vit as m
+from painter_tpu.parallel import mesh as mesh_lib
+from painter_tpu.train import optim, step as step_lib
+
+
+def _flat(tree):
+    return {"/".join(str(getattr(k, "key", k)) for k in path): leaf
+            for path, leaf in jax.tree_util.tree_leaves_with_path(tree)}
+
+
+def test_decay_mask_rules():
+    cfg = configs.tiny_test_config(seg_type_tokens=True)
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    mask = _flat(optim.decay_mask(params))
+    # reference: decay on non-1D torch params, pos_embed excluded
+    # (lr_decay.py:32, model.no_weight_decay())
+    assert not mask["pos_embed"]
+    assert not mask["blocks/norm1/scale"]
+    assert not mask["blocks/attn/qkv/bias"]
+    assert not mask["decoder_pred/ln/scale"]
+    assert mask["blocks/attn/qkv/kernel"]
+    assert mask["mask_token"]  # (1,1,1,C) in torch -> decayed
+    assert mask["decoder_embed/kernel"]
+
+
+def test_layer_lr_scales_match_reference_rule():
+    cfg = configs.tiny_test_config()
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    decay = 0.8
+    scales = _flat(optim.layer_lr_scales(params, cfg, decay))
+    num_layers = cfg.depth + 1
+    # patch_embed & pos_embed -> layer 0 -> decay^num_layers
+    np.testing.assert_allclose(float(scales["patch_embed/kernel"]),
+                               decay ** num_layers, rtol=1e-6)
+    np.testing.assert_allclose(float(scales["pos_embed"]),
+                               decay ** num_layers, rtol=1e-6)
+    # block i -> layer i+1 -> decay^(num_layers-1-i), broadcast over depth
+    qkv = np.asarray(scales["blocks/attn/qkv/kernel"]).reshape(-1)
+    np.testing.assert_allclose(
+        qkv, decay ** (num_layers - 1 - np.arange(cfg.depth)), rtol=1e-6)
+    # decoder & norm & tokens -> scale 1.0
+    assert float(scales["decoder_embed/kernel"]) == 1.0
+    assert float(scales["mask_token"]) == 1.0
+
+
+def test_cosine_warmup_schedule():
+    oc = optim.OptimConfig(lr=1e-3, min_lr=0.0, warmup_epochs=1,
+                           epochs=15, steps_per_epoch=100)
+    sched = optim.cosine_warmup_schedule(oc)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(50)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 1e-3, rtol=1e-6)
+    # mid-cosine: epoch 8 of [1, 15] -> cos(pi/2) -> lr/2
+    np.testing.assert_allclose(float(sched(800)), 5e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(1500)), 0.0, atol=1e-9)
+
+
+def _toy_batch(cfg, accum, batch, seed=0):
+    rng = np.random.RandomState(seed)
+    h, w = cfg.img_size
+    length = cfg.num_patches
+    shape = (accum, batch) if accum > 1 else (batch,)
+    mask = np.zeros(shape + (length,), np.float32)
+    mask[..., length // 2:] = 1
+    return {
+        "imgs": jnp.asarray(rng.randn(*shape, h, w, 3), jnp.float32),
+        "tgts": jnp.asarray(rng.randn(*shape, h, w, 3), jnp.float32),
+        "mask": jnp.asarray(mask),
+        "valid": jnp.ones(shape + (h, w, 3), jnp.float32),
+    }
+
+
+def test_train_step_loss_decreases():
+    cfg = configs.tiny_test_config(drop_path_rate=0.0)
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    oc = optim.OptimConfig(lr=3e-3, warmup_epochs=0, epochs=100,
+                           steps_per_epoch=100, layer_decay=1.0,
+                           weight_decay=0.0)
+    optimizer = optim.make_optimizer(params, cfg, oc)
+    state = step_lib.init_train_state(params, optimizer)
+    train_step = jax.jit(step_lib.make_train_step(cfg, optimizer))
+    batch = _toy_batch(cfg, 1, 4)
+    losses = []
+    for i in range(12):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses
+    assert int(state["step"]) == 12
+
+
+def test_accum_matches_big_batch_grads():
+    """accum_iter microbatching == one big batch (same grads, lr=const)."""
+    cfg = configs.tiny_test_config(drop_path_rate=0.0)
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    oc = optim.OptimConfig(lr=1e-3, warmup_epochs=0, epochs=1,
+                           steps_per_epoch=1, clip_grad=None)
+    optimizer = optim.make_optimizer(params, cfg, oc)
+
+    big = _toy_batch(cfg, 1, 4)
+    micro = jax.tree_util.tree_map(
+        lambda a: a.reshape((2, 2) + a.shape[1:]), big)
+
+    s1 = step_lib.init_train_state(params, optimizer)
+    s2 = step_lib.init_train_state(params, optimizer)
+    step1 = jax.jit(step_lib.make_train_step(cfg, optimizer, accum_iter=1))
+    step2 = jax.jit(step_lib.make_train_step(cfg, optimizer, accum_iter=2))
+    # loss is mean over samples in both cases and grads are averaged over
+    # microbatches; disable dropout rng effects via drop_path_rate=0
+    s1, m1 = step1(s1, big, jax.random.PRNGKey(0))
+    s2, m2 = step2(s2, micro, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    a = _flat(s1["params"])
+    b = _flat(s2["params"])
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   atol=1e-5, err_msg=k)
+
+
+def test_sharded_train_step_on_mesh():
+    """dp=4 x fsdp=2 mesh on 8 virtual CPU devices (SURVEY.md §4)."""
+    assert len(jax.devices()) == 8
+    mesh = mesh_lib.make_mesh(4, 2)
+    cfg = configs.tiny_test_config(embed_dim=256, num_heads=4,
+                                   dtype="bfloat16")
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    oc = optim.OptimConfig(steps_per_epoch=10)
+    optimizer = optim.make_optimizer(params, cfg, oc)
+    state = step_lib.init_train_state(params, optimizer)
+
+    state_sh = jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, mesh_lib.param_spec(leaf, 2)), state)
+    batch = _toy_batch(cfg, 1, 8)
+    batch_sh = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(("dp", "fsdp"))), batch)
+    state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
+    batch = jax.tree_util.tree_map(jax.device_put, batch, batch_sh)
+
+    train_step = jax.jit(step_lib.make_train_step(cfg, optimizer),
+                         in_shardings=(state_sh, batch_sh, None),
+                         out_shardings=(state_sh, None))
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # fsdp leaves actually sharded
+    qkv = state["params"]["blocks"]["attn"]["qkv"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
