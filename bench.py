@@ -33,7 +33,7 @@ def main():
     h, w = cfg.img_size
     length = cfg.num_patches
 
-    def make_fn(batch):
+    def make_fn(batch, attn_impl):
         rng = np.random.RandomState(0)
         imgs = jnp.asarray(rng.randn(batch, h, w, 3), jnp.float32)
         tgts = jnp.asarray(rng.randn(batch, h, w, 3), jnp.float32)
@@ -43,11 +43,11 @@ def main():
         @jax.jit
         def fn(params):
             return m.predict_image(params, cfg, imgs, tgts, mask,
-                                   seg_type=seg_type)
+                                   seg_type=seg_type, attn_impl=attn_impl)
         return fn
 
-    def measure(batch, iters=10):
-        fn = make_fn(batch)
+    def measure(batch, attn_impl, iters=10):
+        fn = make_fn(batch, attn_impl)
         fn(params).block_until_ready()  # compile
         times = []
         for _ in range(iters):
@@ -57,23 +57,25 @@ def main():
         med = float(np.median(times))
         return batch / med, med
 
-    best_tp, best_batch, best_lat = 0.0, 1, 0.0
-    for batch in (1, 2, 4, 8):
-        tp, lat = measure(batch)
-        if tp > best_tp:
-            best_tp, best_batch, best_lat = tp, batch, lat
-    _, p50_b1 = measure(1, iters=20)
+    best = {"tp": 0.0, "batch": 1, "lat": 0.0, "impl": "xla"}
+    for attn_impl in ("pallas", "xla"):
+        for batch in (1, 4, 8, 16):
+            tp, lat = measure(batch, attn_impl)
+            if tp > best["tp"]:
+                best = {"tp": tp, "batch": batch, "lat": lat,
+                        "impl": attn_impl}
+    _, p50_b1 = measure(1, best["impl"], iters=20)
 
     print(json.dumps({
         "metric": "vitl_896x448_incontext_pairs_per_sec_per_chip",
-        "value": round(best_tp, 2),
+        "value": round(best["tp"], 2),
         "unit": "pairs/s",
-        "vs_baseline": round(best_tp / A100_REFERENCE_PAIRS_PER_SEC, 3),
-        "batch": best_batch,
+        "vs_baseline": round(best["tp"] / A100_REFERENCE_PAIRS_PER_SEC, 3),
+        "batch": best["batch"],
         "p50_latency_ms_b1": round(p50_b1 * 1000, 1),
-        "batch_latency_ms": round(best_lat * 1000, 1),
+        "batch_latency_ms": round(best["lat"] * 1000, 1),
         "dtype": "bfloat16",
-        "attn_impl": "xla",
+        "attn_impl": best["impl"],
     }))
 
 

@@ -1,0 +1,250 @@
+"""In-context inference engines (SegGPT + Painter protocols).
+
+Behavioral contract from ``SegGPT/SegGPT_inference/seggpt_engine.py`` and
+``Painter/eval/*/painter_inference_*.py``:
+
+- resize prompt/query to 448^2 (targets NEAREST for SegGPT), stack
+  prompt-over-query into 896x448, ImageNet-normalize; the masked target's
+  bottom half is a copy of the prompt target (:64-91);
+- bottom-half patch mask; multi-prompt -> prompt batch with feature
+  ensemble (``feat_ensemble = 0 iff num_prompts > 1``, :46);
+- output = bottom half of the unpatchified prediction, de-normalized,
+  scaled per task and resized to the original size with a per-task
+  interpolation mode (seggpt: x255 nearest; ade20k/coco-semseg: x255
+  bilinear; depth: x10000 bilinear then channel-mean; pose/inst: x255
+  nearest; restoration: [0,1] bicubic) — see `painter_inference_*.py`;
+- video: rolling cache of recent frames + binarized predictions as extra
+  prompts; predictions are serially dependent frame-to-frame (:106-181).
+
+TPU-native notes: the forward + bottom-half extraction + de-normalization
+run as one jitted function (recompiled per prompt-count bucket); the
+output resize uses torch-exact resampling on device. The dispatcher
+prefers the Pallas fused attention on TPU.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from painter_tpu.configs import ModelConfig
+from painter_tpu.models import incontext_vit as model_lib
+from painter_tpu.ops import image as image_ops
+from painter_tpu.ops.resample import resize2d
+
+
+def default_attn_impl() -> str:
+    return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskSpec:
+    """Per-task output decoding protocol (painter_inference_*.py)."""
+    name: str
+    out_scale: float = 255.0
+    clip: Optional[Tuple[float, float]] = (0.0, 255.0)
+    resize_mode: str = "bilinear"
+    channel_mean: bool = False  # depth: mean over RGB after resize
+
+
+TASK_SPECS = {
+    # seggpt_engine.py:48-53,97-103
+    "seggpt": TaskSpec("seggpt", 255.0, (0.0, 255.0), "nearest"),
+    # eval/ade20k_semantic/painter_inference_segm.py:88-91
+    "ade20k_semseg": TaskSpec("ade20k_semseg", 255.0, (0.0, 255.0),
+                              "bilinear"),
+    # eval/coco_panoptic/painter_inference_pano_semseg.py
+    "coco_semseg": TaskSpec("coco_semseg", 255.0, (0.0, 255.0), "bilinear"),
+    # eval/coco_panoptic/painter_inference_pano_inst.py:89-90
+    "coco_inst": TaskSpec("coco_inst", 255.0, (0.0, 255.0), "nearest"),
+    # eval/mmpose_custom/painter_inference_pose.py:87-88
+    "pose": TaskSpec("pose", 255.0, (0.0, 255.0), "nearest"),
+    # eval/nyuv2_depth/painter_inference_depth.py:69-74
+    "depth": TaskSpec("depth", 10000.0, (0.0, 10000.0), "bilinear",
+                      channel_mean=True),
+    # eval/{derain,sidd,lol}/painter_inference_*.py: float output, bicubic
+    "restoration": TaskSpec("restoration", 1.0, None, "bicubic"),
+}
+
+
+class InContextModel:
+    """Bundles (config, params) with jitted in-context predict functions."""
+
+    def __init__(self, cfg: ModelConfig, params,
+                 attn_impl: Optional[str] = None,
+                 seg_type: str = "semantic"):
+        self.cfg = cfg
+        self.params = params
+        self.attn_impl = attn_impl or default_attn_impl()
+        self.seg_type = seg_type  # 'semantic' | 'instance' (SegGPT CLI)
+
+        @functools.partial(jax.jit, static_argnames=("merge",))
+        def _predict(params, imgs, tgts, mask, seg_type_arr, merge):
+            pred = model_lib.predict_image(
+                params, self.cfg, imgs, tgts, mask,
+                seg_type=seg_type_arr, merge_between_batch=merge,
+                attn_impl=self.attn_impl)
+            # bottom half of sample 0, de-normalized (seggpt_engine.py:48-53)
+            half = pred.shape[1] // 2
+            out = image_ops.denormalize(pred[0, half:])
+            return out
+
+        self._predict = _predict
+
+    def run_one_image(self, img: np.ndarray, tgt: np.ndarray) -> np.ndarray:
+        """img/tgt: (N, 2R, R, 3) normalized stitched batch (prompt dim N).
+
+        Returns the painted bottom half (R, R, 3), de-normalized float
+        (unscaled). Mirrors ``seggpt_engine.run_one_image`` (:26-53).
+        """
+        n = img.shape[0]
+        num_patches = (img.shape[1] // self.cfg.patch_size) * \
+                      (img.shape[2] // self.cfg.patch_size)
+        mask = image_ops.bottom_half_mask(n, num_patches)
+        st_val = 1 if self.seg_type == "instance" else 0
+        st = jnp.full((n, 1), st_val, jnp.int32) \
+            if self.cfg.seg_type_tokens else None
+        merge = 0 if n > 1 else -1  # seggpt_engine.py:46
+        out = self._predict(self.params, jnp.asarray(img, jnp.float32),
+                            jnp.asarray(tgt, jnp.float32), mask, st, merge)
+        return np.asarray(out)
+
+
+def scale_and_resize(output: np.ndarray, size_wh: Tuple[int, int],
+                     spec: TaskSpec) -> np.ndarray:
+    """De-normalized bottom half -> task output at the original size."""
+    out = jnp.asarray(output) * spec.out_scale
+    if spec.clip is not None:
+        out = jnp.clip(out, spec.clip[0], spec.clip[1])
+    out = resize2d(out, (size_wh[1], size_wh[0]), spec.resize_mode,
+                   h_axis=0, w_axis=1)
+    if spec.channel_mean:
+        out = out.mean(axis=-1)
+    return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# Host-side file drivers (PIL/cv2 IO, matching reference protocols)
+# ---------------------------------------------------------------------------
+
+def _load_rgb(path: str, res: int, nearest: bool = False) -> np.ndarray:
+    from PIL import Image
+    img = Image.open(path).convert("RGB")
+    img = img.resize((res, res), Image.NEAREST if nearest else None)
+    return np.array(img) / 255.0
+
+
+def build_prompt_batch(query: np.ndarray,
+                       prompts: Sequence[Tuple[np.ndarray, np.ndarray]]):
+    """query (R,R,3) [0,1]; prompts: [(img2, tgt2)] -> normalized batch."""
+    imgs, tgts = [], []
+    for img2, tgt2 in prompts:
+        img = np.concatenate([img2, query], axis=0)
+        tgt = np.concatenate([tgt2, tgt2], axis=0)
+        imgs.append(np.asarray(
+            image_ops.normalize(jnp.asarray(img, jnp.float32))))
+        tgts.append(np.asarray(
+            image_ops.normalize(jnp.asarray(tgt, jnp.float32))))
+    return np.stack(imgs), np.stack(tgts)
+
+
+def inference_image(model: InContextModel, img_path: str,
+                    img2_paths: Sequence[str], tgt2_paths: Sequence[str],
+                    out_path: str, res: int = 448) -> np.ndarray:
+    """SegGPT single-image driver (seggpt_engine.py:56-103)."""
+    from PIL import Image
+    image = Image.open(img_path).convert("RGB")
+    input_image = np.array(image)
+    size = image.size
+    query = np.array(image.resize((res, res))) / 255.0
+
+    prompts = [(_load_rgb(p, res), _load_rgb(t, res, nearest=True))
+               for p, t in zip(img2_paths, tgt2_paths)]
+    imgs, tgts = build_prompt_batch(query, prompts)
+    output = model.run_one_image(imgs, tgts)
+    output = scale_and_resize(output, size, TASK_SPECS["seggpt"])
+    composite = (input_image * (0.6 * output / 255 + 0.4)).astype(np.uint8)
+    if out_path:
+        Image.fromarray(composite).save(out_path)
+    return output
+
+
+def inference_video(model: InContextModel, vid_path: str, num_frames: int,
+                    img2_paths: Optional[Sequence[str]],
+                    tgt2_paths: Sequence[str], out_path: str,
+                    res: int = 448) -> int:
+    """SegGPT video driver with rolling prompt cache
+
+    (seggpt_engine.py:106-181). Returns number of frames written."""
+    import cv2
+    from PIL import Image
+
+    cap = cv2.VideoCapture(vid_path)
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (width, height), True)
+
+    if img2_paths is None:
+        _, frame = cap.read()
+        img2 = Image.fromarray(frame[:, :, ::-1]).convert("RGB")
+        img2 = np.array(img2.resize((res, res))) / 255.0
+    else:
+        img2 = _load_rgb(img2_paths[0], res)
+    tgt2 = _load_rgb(tgt2_paths[0], res, nearest=True)
+
+    frames_cache: List[np.ndarray] = []
+    targets_cache: List[np.ndarray] = []
+    n_written = 0
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        image = Image.fromarray(frame[:, :, ::-1]).convert("RGB")
+        input_image = np.array(image)
+        size = image.size
+        query = np.array(image.resize((res, res))) / 255.0
+
+        prompts = list(zip([img2] + frames_cache, [tgt2] + targets_cache))
+        imgs, tgts = build_prompt_batch(query, prompts)
+        output = model.run_one_image(imgs, tgts)
+
+        if num_frames > 0:
+            frames_cache.append(query)
+            binarized = (output.mean(-1) > 128).astype(np.float32)
+            targets_cache.append(np.repeat(binarized[..., None], 3, axis=-1))
+            if len(frames_cache) > num_frames:
+                frames_cache.pop(0)
+                targets_cache.pop(0)
+
+        out = scale_and_resize(output, size, TASK_SPECS["seggpt"])
+        composite = input_image * (0.6 * out / 255 + 0.4)
+        writer.write(np.ascontiguousarray(
+            composite.astype(np.uint8)[:, :, ::-1]))
+        n_written += 1
+    writer.release()
+    return n_written
+
+
+def painter_task_inference(model: InContextModel, img_path: str,
+                           prompt_img_path: str, prompt_tgt_path: str,
+                           task: str, res: int = 448) -> np.ndarray:
+    """Generic Painter per-task driver (fixed-prompt protocol,
+
+    painter_inference_*.py __main__ loops)."""
+    from PIL import Image
+    image = Image.open(img_path).convert("RGB")
+    size = image.size
+    query = np.array(image.resize((res, res))) / 255.0
+    # Painter eval scripts resize the prompt target with PIL's default
+    # (bicubic) — unlike SegGPT's NEAREST (painter_inference_segm.py:138-141)
+    img2 = _load_rgb(prompt_img_path, res)
+    tgt2 = _load_rgb(prompt_tgt_path, res)
+    imgs, tgts = build_prompt_batch(query, [(img2, tgt2)])
+    output = model.run_one_image(imgs, tgts)
+    return scale_and_resize(output, size, TASK_SPECS[task])

@@ -1,0 +1,163 @@
+"""Data pipeline: masking invariants, paired transforms, dataset semantics."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from painter_tpu.configs import IMAGENET_MEAN, IMAGENET_STD
+from painter_tpu.data import transforms as T
+from painter_tpu.data.masking import BlockMaskingGenerator
+from painter_tpu.data.pairdataset import (PairDataset,
+                                          WeightedMixtureSampler,
+                                          data_iterator, make_train_dataset,
+                                          make_val_dataset)
+
+
+def test_masking_exact_count_invariant():
+    gen = BlockMaskingGenerator((14, 14), num_masking_patches=118,
+                                min_num_patches=16)
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        mask = gen(rng)
+        assert mask.sum() == 118
+        assert mask.shape == (14, 14)
+
+
+def test_masking_half_mask():
+    gen = BlockMaskingGenerator((56, 28), num_masking_patches=784)
+    half = gen.half_mask()
+    assert half[:28].sum() == 0 and half[28:].sum() == 28 * 28
+
+
+def test_rrc_shared_params_and_target_nearest():
+    """Nearest target interpolation must preserve the palette value set."""
+    rng_img = np.random.RandomState(0)
+    img = Image.fromarray(
+        (rng_img.rand(100, 80, 3) * 255).astype(np.uint8))
+    # target uses exactly two colors
+    tarr = np.zeros((100, 80, 3), np.uint8)
+    tarr[40:, :] = (10, 200, 30)
+    tgt = Image.fromarray(tarr)
+    rrc = T.PairRandomResizedCrop(64, scale=(0.5, 1.0))
+    out_i, out_t = rrc(img, tgt, np.random.default_rng(3),
+                       "bicubic", "nearest")
+    assert out_i.size == (64, 64) and out_t.size == (64, 64)
+    colors = set(map(tuple, np.asarray(out_t).reshape(-1, 3).tolist()))
+    assert colors <= {(0, 0, 0), (10, 200, 30)}
+
+
+def test_jitter_input_only_and_flip_both():
+    arr = (np.random.RandomState(0).rand(32, 32, 3) * 255).astype(np.uint8)
+    img, tgt = Image.fromarray(arr), Image.fromarray(arr)
+    jit = T.PairColorJitter(0.4, 0.4, 0.2, 0.1, p=1.0)
+    out_i, out_t = jit(img, tgt, np.random.default_rng(0))
+    assert not np.array_equal(np.asarray(out_i), arr)
+    assert np.array_equal(np.asarray(out_t), arr)
+
+    flip = T.PairRandomHorizontalFlip(p=1.0)
+    f_i, f_t = flip(img, tgt, np.random.default_rng(0))
+    assert np.array_equal(np.asarray(f_i), arr[:, ::-1])
+    assert np.array_equal(np.asarray(f_t), arr[:, ::-1])
+
+
+@pytest.fixture(scope="module")
+def toy_root(tmp_path_factory):
+    """Synthetic multi-task dataset with reference-format JSON lists."""
+    root = tmp_path_factory.mktemp("toy")
+    rng = np.random.RandomState(0)
+    json_paths = []
+    specs = [
+        ("nyuv2_image2depth", "depth", 3),
+        ("ade20k_image2semantic", "ade", 3),
+        ("coco_image2panoptic_inst", "inst", 3),
+        ("derain_image2derain", "derain", 3),
+    ]
+    for pair_type, name, count in specs:
+        pairs = []
+        for i in range(count):
+            ip = f"{name}_img_{i}.png"
+            if pair_type == "nyuv2_image2depth":
+                tp = f"{name}_sync_depth_{i}.png"
+                depth = (rng.rand(48, 40) * 9000).astype(np.int32)
+                Image.fromarray(depth, mode="I").save(root / tp)
+            else:
+                tp = f"{name}_tgt_{i}.png"
+                arr = (rng.rand(48, 40, 3) * 255).astype(np.uint8)
+                if pair_type == "ade20k_image2semantic":
+                    arr[:24] = 0  # black = ignore
+                Image.fromarray(arr).save(root / tp)
+            Image.fromarray(
+                (rng.rand(48, 40, 3) * 255).astype(np.uint8)).save(root / ip)
+            pairs.append({"image_path": ip, "target_path": tp,
+                          "type": pair_type})
+        jp = root / f"{name}.json"
+        jp.write_text(json.dumps(pairs))
+        json_paths.append(str(jp))
+    return str(root), json_paths
+
+
+def test_pairdataset_sample_semantics(toy_root):
+    root, json_paths = toy_root
+    ds = make_train_dataset(root, json_paths, img_size=(64, 32),
+                            num_mask_patches=4,
+                            max_mask_patches_per_block=4,
+                            min_mask_patches_per_block=1)
+    assert len(ds) == 12
+    rng = np.random.default_rng(0)
+    for idx in range(len(ds)):
+        s = ds.get(idx, rng)
+        # stitched pair: H = 2*W
+        assert s["imgs"].shape == (64, 32, 3)
+        assert s["tgts"].shape == (64, 32, 3)
+        assert s["mask"].shape == (8,)  # 4x2 grid
+        assert s["valid"].shape == (64, 32, 3)
+        t = ds.pairs[idx]["type"]
+        if t == "ade20k_image2semantic":
+            # ignore-black rule produces zeros in valid
+            assert (s["valid"] == 0).any()
+        if t == "nyuv2_image2depth":
+            assert s["valid"].min() == 0.0  # zero-depth pixels masked
+
+    # second pair is same-type
+    for t, idxs in ds.pair_type_dict.items():
+        assert all(ds.pairs[i]["type"] == t for i in idxs)
+
+
+def test_val_dataset_always_half_mask(toy_root):
+    root, json_paths = toy_root
+    ds = make_val_dataset(root, json_paths, img_size=(64, 32),
+                          num_mask_patches=4)
+    s = ds.get(0, np.random.default_rng(0))
+    mask = s["mask"].reshape(4, 2)
+    assert mask[:2].sum() == 0 and mask[2:].sum() == 4
+
+
+def test_weighted_sampler_shards_and_weights():
+    weights = [1.0] * 10 + [10.0] * 10
+    samplers = [WeightedMixtureSampler(weights, num_replicas=4, rank=r,
+                                       seed=1) for r in range(4)]
+    all_idx = np.concatenate([s.epoch_indices(epoch=3) for s in samplers])
+    assert len(all_idx) == 20
+    # heavy half should dominate
+    heavy = (all_idx >= 10).mean()
+    assert heavy > 0.6
+    # deterministic per (seed, epoch)
+    again = samplers[0].epoch_indices(epoch=3)
+    np.testing.assert_array_equal(again, samplers[0].epoch_indices(3))
+
+
+def test_data_iterator_batches(toy_root):
+    root, json_paths = toy_root
+    ds = make_train_dataset(root, json_paths, img_size=(64, 32),
+                            num_mask_patches=4,
+                            max_mask_patches_per_block=4,
+                            min_mask_patches_per_block=1)
+    sampler = WeightedMixtureSampler(ds.weights)
+    batches = list(data_iterator(ds, sampler, batch_size=2, epoch=0,
+                                 accum_iter=2))
+    assert len(batches) == 3  # 12 samples / (2*2)
+    b = batches[0]
+    assert b["imgs"].shape == (2, 2, 64, 32, 3)
+    assert b["mask"].shape == (2, 2, 8)

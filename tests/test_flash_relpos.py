@@ -1,0 +1,52 @@
+"""Pallas fused-attention parity (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from painter_tpu.kernels.flash_relpos import flash_attention_relpos
+from painter_tpu.ops.attention import rel_pos_bias
+
+RNG = np.random.RandomState(0)
+
+
+def _xla_ref(q, k, v, rph, rpw, q_size, scale):
+    b, nh, L, hd = q.shape
+    qh, qw = q_size
+    attn = jnp.einsum("bnqd,bnkd->bnqk", q * scale, k)
+    rel_h, rel_w = rel_pos_bias(q, rph, rpw, q_size, q_size)
+    attn = attn.reshape(b, nh, qh, qw, qh, qw) \
+        + rel_h[..., None] + rel_w[..., None, :]
+    attn = jax.nn.softmax(attn.reshape(b, nh, L, L).astype(jnp.float32),
+                          axis=-1)
+    return jnp.einsum("bnqk,bnkd->bnqd", attn.astype(q.dtype), v)
+
+
+@pytest.mark.parametrize("block_q", [8, 24])  # divisible + ragged tail
+def test_flash_relpos_matches_xla(block_q):
+    b, nh, qh, qw, hd = 2, 3, 8, 4, 16
+    L = qh * qw
+    q = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    k = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    v = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    rph = jnp.asarray(RNG.randn(2 * qh - 1, hd), jnp.float32)
+    rpw = jnp.asarray(RNG.randn(2 * qw - 1, hd), jnp.float32)
+    scale = hd ** -0.5
+    ref = _xla_ref(q, k, v, rph, rpw, (qh, qw), scale)
+    got = flash_attention_relpos(q, k, v, rph, rpw, (qh, qw), (qh, qw),
+                                 scale, block_q=block_q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_flash_relpos_resolution_interpolation():
+    """Tables sized for an 8x4 grid used at 12x6 (rel-pos interp path)."""
+    b, nh, qh, qw, hd = 1, 2, 12, 6, 16
+    L = qh * qw
+    q = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    rph = jnp.asarray(RNG.randn(2 * 8 - 1, hd), jnp.float32)
+    rpw = jnp.asarray(RNG.randn(2 * 4 - 1, hd), jnp.float32)
+    scale = hd ** -0.5
+    ref = _xla_ref(q, q, q, rph, rpw, (qh, qw), scale)
+    got = flash_attention_relpos(q, q, q, rph, rpw, (qh, qw), (qh, qw),
+                                 scale, block_q=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -1,0 +1,83 @@
+"""Inference engines: image, multi-prompt, video, painter task specs."""
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from painter_tpu import configs
+from painter_tpu.infer import engine
+from painter_tpu.models import incontext_vit as m
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = configs.tiny_test_config(img_size=(64, 32), pretrain_img_size=32,
+                                   seg_type_tokens=True)
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    return engine.InContextModel(cfg, params, attn_impl="xla")
+
+
+def _write_img(path, size=(50, 40), color=None):
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(size[1], size[0], 3) * 255).astype(np.uint8) \
+        if color is None else np.full((size[1], size[0], 3), color, np.uint8)
+    Image.fromarray(arr).save(path)
+    return path
+
+
+def test_inference_image_single_and_multi_prompt(tiny_model, tmp_path):
+    img = _write_img(str(tmp_path / "q.png"))
+    p1 = _write_img(str(tmp_path / "p1.png"))
+    t1 = _write_img(str(tmp_path / "t1.png"), color=255)
+    p2 = _write_img(str(tmp_path / "p2.png"))
+    t2 = _write_img(str(tmp_path / "t2.png"), color=0)
+    out = str(tmp_path / "out.png")
+
+    res = tiny_model.cfg.img_size[1]
+    o1 = engine.inference_image(tiny_model, img, [p1], [t1], out, res=res)
+    assert o1.shape == (40, 50, 3) and os.path.exists(out)
+    assert np.isfinite(o1).all() and o1.min() >= 0 and o1.max() <= 255
+
+    # multi-prompt hits the feature-ensemble path (merge_between_batch=0)
+    o2 = engine.inference_image(tiny_model, img, [p1, p2], [t1, t2], out,
+                                res=res)
+    assert o2.shape == (40, 50, 3)
+
+
+def test_inference_video_rolling_cache(tiny_model, tmp_path):
+    import cv2
+    vid = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5, (48, 36))
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        w.write((rng.rand(36, 48, 3) * 255).astype(np.uint8))
+    w.release()
+    tgt = _write_img(str(tmp_path / "t.png"), color=255)
+    out = str(tmp_path / "out.mp4")
+    res = tiny_model.cfg.img_size[1]
+    n = engine.inference_video(tiny_model, vid, num_frames=2,
+                               img2_paths=None, tgt2_paths=[tgt],
+                               out_path=out, res=res)
+    # first frame consumed as the anchor prompt (seggpt_engine.py:116-118)
+    assert n == 3 and os.path.exists(out)
+
+
+def test_painter_task_specs(tiny_model, tmp_path):
+    img = _write_img(str(tmp_path / "q.png"), size=(30, 26))
+    p = _write_img(str(tmp_path / "p.png"))
+    t = _write_img(str(tmp_path / "t.png"))
+    res = tiny_model.cfg.img_size[1]
+    # depth: channel-mean, x10000
+    d = engine.painter_task_inference(tiny_model, img, p, t, "depth",
+                                      res=res)
+    assert d.shape == (26, 30) and d.max() <= 10000.0 and d.min() >= 0
+    # restoration: float, unclipped scale 1
+    r = engine.painter_task_inference(tiny_model, img, p, t, "restoration",
+                                      res=res)
+    assert r.shape == (26, 30, 3)
+    # segmentation: x255 clipped
+    s = engine.painter_task_inference(tiny_model, img, p, t,
+                                      "ade20k_semseg", res=res)
+    assert s.shape == (26, 30, 3) and s.max() <= 255.0
