@@ -1,0 +1,78 @@
+"""Class-agnostic instance decoding from position-coded colors.
+
+Behavioral contract from
+``eval/coco_panoptic/COCOCAInstSegEvaluatorCustom.py:252-354``
+(threshold variant, the one used for the published PQ): for each of the
+6400 position colors, candidate mask = pixels with mean-channel L1
+distance < dist_thr; score = 1 - normalized mean in-mask distance
+("maskness"); top-2000 by maskness, matrix NMS (gaussian, sigma 2),
+top-100 by decayed score.
+
+TPU-native: the per-color distance/threshold/maskness pass runs as one
+jitted reduction over the full palette instead of the reference's chunked
+GPU loop; the dynamic-size filtering stays host-side.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from painter_tpu.ops.nms import mask_matrix_nms
+from painter_tpu.ops.palette import coco_instance_palette
+
+
+@functools.partial(jax.jit, static_argnames=("dist_thr",))
+def _candidate_stats(segm: jnp.ndarray, palette: jnp.ndarray,
+                     dist_thr: float):
+    """segm (H, W, 3) -> per-color (num_pos, maskness_neg_sum)."""
+    # (K, H, W): mean-channel L1 distance to each palette color
+    dist = jnp.abs(segm[None] - palette[:, None, None, :]).sum(-1) / 3.0
+    mask = dist < dist_thr
+    num_pos = mask.sum((1, 2))
+    neg = (dist * mask).sum((1, 2)) / jnp.maximum(num_pos, 1)
+    return mask, num_pos, neg
+
+
+def decode_instances(segm: np.ndarray,
+                     dist_thr_list: Sequence[float] = (19.0,),
+                     topk_pre: int = 2000, max_num: int = 100,
+                     keep_all: bool = False) -> Dict[str, np.ndarray]:
+    """(H, W, 3) painted prediction -> {'masks' (N,H,W), 'scores' (N,)}."""
+    palette = jnp.asarray(coco_instance_palette()[:-1], jnp.float32)
+    segm_j = jnp.asarray(segm, jnp.float32)
+
+    masks_list: List[np.ndarray] = []
+    neg_list: List[np.ndarray] = []
+    for dist_thr in dist_thr_list:
+        mask, num_pos, neg = _candidate_stats(segm_j, palette,
+                                              float(dist_thr))
+        keep = np.asarray(num_pos) > 0
+        if keep.any():
+            masks_list.append(np.asarray(mask)[keep])
+            neg_list.append(np.asarray(neg)[keep])
+
+    h, w = segm.shape[:2]
+    if not masks_list:
+        return {"masks": np.zeros((1, h, w), np.float32),
+                "scores": np.zeros(1, np.float32)}
+
+    masks = np.concatenate(masks_list)
+    neg = np.concatenate(neg_list)
+    order = np.argsort(neg, kind="stable")[:topk_pre]
+    masks = masks[order]
+    neg = neg[order]
+    scores = 1.0 - neg / max(float(neg.max()), 1.0)
+    labels = np.ones(len(masks), np.int32)
+
+    if keep_all:
+        return {"masks": masks.astype(np.float32), "scores": scores}
+
+    scores, labels, masks, _ = mask_matrix_nms(
+        masks, labels, scores, filter_thr=-1, nms_pre=-1, max_num=max_num,
+        kernel="gaussian", sigma=2.0)
+    return {"masks": masks.astype(np.float32),
+            "scores": scores.astype(np.float32)}
