@@ -199,9 +199,10 @@ def make_train_dataset(root: str, json_paths: Sequence[str],
                        max_mask_patches_per_block: int = 392,
                        min_mask_patches_per_block: int = 16,
                        min_random_scale: float = 0.3,
-                       half_mask_ratio: float = 0.1) -> PairDataset:
+                       half_mask_ratio: float = 0.1,
+                       patch_size: int = 16) -> PairDataset:
     """The canonical training dataset (main_train.py:232-261)."""
-    grid = (img_size[0] // 16, img_size[1] // 16)
+    grid = (img_size[0] // patch_size, img_size[1] // patch_size)
     return PairDataset(
         root, json_paths,
         transform=T.train_transform(img_size[1], min_random_scale),
@@ -216,12 +217,12 @@ def make_train_dataset(root: str, json_paths: Sequence[str],
 
 
 def make_val_dataset(root: str, json_paths: Sequence[str],
-                     img_size=(896, 448),
-                     num_mask_patches: int = 784) -> PairDataset:
+                     img_size=(896, 448), num_mask_patches: int = 784,
+                     patch_size: int = 16) -> PairDataset:
     """Validation: identity crop, always bottom-half mask
 
     (main_train.py:262, half_mask_ratio=1.0)."""
-    grid = (img_size[0] // 16, img_size[1] // 16)
+    grid = (img_size[0] // patch_size, img_size[1] // patch_size)
     return PairDataset(
         root, json_paths,
         transform=T.identity_crop_transform(img_size[1]),

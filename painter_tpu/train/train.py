@@ -1,0 +1,206 @@
+"""Training driver CLI — the TPU-native ``main_train.py`` equivalent.
+
+Mirrors the reference's flags and flow (``Painter/main_train.py:48-391``):
+build model from a named preset, MAE-init surgery, mixture dataset,
+weighted sampler, per-iter cosine LR with warmup, AdamW + layer decay,
+grad accumulation, grad-clip 3.0, epoch loop with masked-loss validation,
+checkpoint save/auto-resume, JSON-lines log. TPU-native replacements:
+DDP/NCCL -> one jitted step over a dp(+fsdp) mesh; fp16 AMP + scaler ->
+bf16 compute; torch.save -> Orbax; NaN watchdog preserved
+(engine_train.py:70-72).
+
+Run: python -m painter_tpu.train.train --json_path a.json b.json \
+    --data_path datasets/ --output_dir out/ [--finetune mae.pth] ...
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("Painter-TPU training", add_help=False)
+    p.add_argument("--batch_size", default=2, type=int,
+                   help="per-chip batch size")
+    p.add_argument("--accum_iter", default=16, type=int)
+    p.add_argument("--model", default="painter_vit_large_patch16_input896x448_win_dec64_8glb_sl1")
+    p.add_argument("--epochs", default=15, type=int)
+    p.add_argument("--warmup_epochs", default=1, type=float)
+    p.add_argument("--lr", default=1e-3, type=float)
+    p.add_argument("--min_lr", default=0.0, type=float)
+    p.add_argument("--weight_decay", default=0.05, type=float)
+    p.add_argument("--layer_decay", default=0.8, type=float)
+    p.add_argument("--clip_grad", default=3.0, type=float)
+    p.add_argument("--drop_path", default=0.1, type=float)
+    p.add_argument("--input_size", default=(896, 448), type=int, nargs=2)
+    p.add_argument("--num_mask_patches", default=784, type=int)
+    p.add_argument("--max_mask_patches_per_block", default=392, type=int)
+    p.add_argument("--min_mask_patches_per_block", default=16, type=int)
+    p.add_argument("--min_random_scale", default=0.3, type=float)
+    p.add_argument("--half_mask_ratio", default=0.1, type=float)
+    p.add_argument("--data_path", default="datasets/")
+    p.add_argument("--json_path", nargs="+", default=[])
+    p.add_argument("--val_json_path", nargs="+", default=[])
+    p.add_argument("--output_dir", default="./output")
+    p.add_argument("--finetune", default="",
+                   help="MAE-pretrained .pth for init surgery")
+    p.add_argument("--resume", default="")
+    p.add_argument("--auto_resume", action="store_true", default=True)
+    p.add_argument("--save_freq", default=1, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--print_freq", default=20, type=int)
+    p.add_argument("--loss_func", default="smoothl1")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--n_fsdp", default=1, type=int,
+                   help="fsdp mesh axis size (ZeRO-like sharding)")
+    p.add_argument("--remat", action="store_true", default=True)
+    p.add_argument("--attn_impl", default=None,
+                   help="xla | pallas (default: pallas on TPU)")
+    p.add_argument("--max_steps_per_epoch", default=-1, type=int,
+                   help="truncate epochs (smoke tests)")
+    return p
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from painter_tpu import configs
+    from painter_tpu.data import pairdataset as pd
+    from painter_tpu.models import incontext_vit as model_lib
+    from painter_tpu.parallel import mesh as mesh_lib
+    from painter_tpu.train import checkpoint as ckpt_lib
+    from painter_tpu.train import optim, step as step_lib
+    from painter_tpu.utils.logging import MetricLogger, append_log_line
+
+    cfg = configs.get_config(
+        args.model, img_size=tuple(args.input_size),
+        drop_path_rate=args.drop_path, loss_func=args.loss_func,
+        dtype=args.dtype)
+
+    key = jax.random.PRNGKey(args.seed)
+    params = model_lib.init_params(key, cfg)
+    if args.finetune:
+        params = ckpt_lib.load_torch_params(args.finetune, cfg, init=params)
+        print(f"initialized from {args.finetune}")
+
+    devices = jax.devices()
+    mesh = mesh_lib.make_mesh(len(devices) // args.n_fsdp, args.n_fsdp,
+                              devices)
+    print(f"mesh: {dict(mesh.shape)} on {devices[0].platform}")
+
+    dataset = pd.make_train_dataset(
+        args.data_path, args.json_path, img_size=tuple(args.input_size),
+        num_mask_patches=args.num_mask_patches,
+        max_mask_patches_per_block=args.max_mask_patches_per_block,
+        min_mask_patches_per_block=args.min_mask_patches_per_block,
+        min_random_scale=args.min_random_scale,
+        half_mask_ratio=args.half_mask_ratio, patch_size=cfg.patch_size)
+    val_dataset = (pd.make_val_dataset(args.data_path, args.val_json_path,
+                                       img_size=tuple(args.input_size),
+                                       num_mask_patches=args.num_mask_patches,
+                                       patch_size=cfg.patch_size)
+                   if args.val_json_path else None)
+    sampler = pd.WeightedMixtureSampler(dataset.weights, seed=args.seed)
+
+    global_batch = args.batch_size * len(devices)
+    steps_per_epoch = len(dataset) // (global_batch * args.accum_iter)
+    if args.max_steps_per_epoch > 0:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
+    print(f"effective batch {global_batch * args.accum_iter}, "
+          f"{steps_per_epoch} updates/epoch")
+
+    oc = optim.OptimConfig(
+        lr=args.lr, min_lr=args.min_lr, weight_decay=args.weight_decay,
+        layer_decay=args.layer_decay, clip_grad=args.clip_grad,
+        warmup_epochs=args.warmup_epochs, epochs=args.epochs,
+        steps_per_epoch=max(steps_per_epoch, 1))
+    optimizer = optim.make_optimizer(params, cfg, oc)
+    state = step_lib.init_train_state(params, optimizer)
+
+    state_sh = jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh,
+                                   mesh_lib.param_spec(leaf, args.n_fsdp)),
+        state)
+    state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
+    batch_spec = P(None, ("dp", "fsdp")) if args.accum_iter > 1 \
+        else P(("dp", "fsdp"))
+    batch_sh = NamedSharding(mesh, batch_spec)
+
+    attn_impl = args.attn_impl or (
+        "pallas" if devices[0].platform == "tpu" else "xla")
+    train_step = jax.jit(
+        step_lib.make_train_step(cfg, optimizer, accum_iter=args.accum_iter,
+                                 remat=args.remat, attn_impl=attn_impl),
+        donate_argnums=(0,))
+    eval_step = jax.jit(step_lib.make_eval_step(cfg))
+
+    import os
+    manager = ckpt_lib.checkpoint_manager(
+        os.path.abspath(os.path.join(args.output_dir, "checkpoints")))
+    start_epoch = 0
+    if args.auto_resume:
+        state, resumed = ckpt_lib.restore_state(manager, state)
+        if resumed is not None:
+            start_epoch = resumed // max(steps_per_epoch, 1)
+            print(f"auto-resumed from step {resumed} (epoch {start_epoch})")
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(start_epoch, args.epochs):
+        logger = MetricLogger()
+        it = pd.data_iterator(dataset, sampler, global_batch, epoch,
+                              seed=args.seed, accum_iter=args.accum_iter)
+        t_epoch = time.time()
+        for step_idx, batch in enumerate(
+                logger.log_every(it, args.print_freq,
+                                 header=f"Epoch [{epoch}]",
+                                 total=steps_per_epoch)):
+            if step_idx >= steps_per_epoch:
+                break
+            batch = {k: jax.device_put(v, batch_sh)
+                     for k, v in batch.items()}
+            step_rng = jax.random.fold_in(rng, int(state["step"]))
+            state, metrics = train_step(state, batch, step_rng)
+            loss = float(metrics["loss"])
+            if not math.isfinite(loss):
+                print(f"Loss is {loss}, stopping training "
+                      "(engine_train.py:70-72 watchdog)")
+                sys.exit(1)
+            logger.update(loss=loss,
+                          grad_norm=float(metrics["grad_norm"]))
+        stats = {f"train_{k}": v for k, v in logger.summary().items()}
+
+        if val_dataset is not None:
+            vlogger = MetricLogger()
+            vsampler = pd.WeightedMixtureSampler(val_dataset.weights,
+                                                 seed=args.seed)
+            vit = pd.data_iterator(val_dataset, vsampler, global_batch,
+                                   epoch, seed=args.seed)
+            for vstep, batch in enumerate(vit):
+                if args.max_steps_per_epoch > 0 and \
+                        vstep >= args.max_steps_per_epoch:
+                    break
+                batch = {k: jax.device_put(
+                    v, NamedSharding(mesh, P(("dp", "fsdp"))))
+                    for k, v in batch.items()}
+                m = eval_step(state["params"], batch)
+                vlogger.update(loss=float(m["loss"]))
+            stats.update({f"val_{k}": v for k, v in
+                          vlogger.summary().items()})
+
+        stats.update({"epoch": epoch,
+                      "epoch_time_s": round(time.time() - t_epoch, 1)})
+        print(stats, flush=True)
+        append_log_line(args.output_dir, stats)
+        if (epoch + 1) % args.save_freq == 0 or epoch + 1 == args.epochs:
+            ckpt_lib.save_state(manager, int(state["step"]), state)
+            manager.wait_until_finished()
+    return state
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())
