@@ -122,6 +122,16 @@ def cosine_warmup_schedule(oc: OptimConfig):
     return schedule
 
 
+def lars(learning_rate: float = 0.0, weight_decay: float = 0.0,
+         momentum: float = 0.9) -> optax.GradientTransformation:
+    """LARS — present-but-unused alternative optimizer, mirroring
+
+    ``Painter/util/lars.py`` (MoCo v3). optax ships the trust-ratio
+    implementation; exposed here for CLI parity."""
+    return optax.lars(learning_rate, weight_decay=weight_decay,
+                      momentum=momentum)
+
+
 def make_optimizer(params: Any, cfg: ModelConfig,
                    oc: OptimConfig) -> optax.GradientTransformation:
     parts = []
