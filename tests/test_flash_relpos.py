@@ -50,3 +50,29 @@ def test_flash_relpos_resolution_interpolation():
     got = flash_attention_relpos(q, q, q, rph, rpw, (qh, qw), (qh, qw),
                                  scale, block_q=16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("block_q", [8, 10])  # divisible + ragged tail
+def test_flash_relpos_gradients_match_xla(block_q):
+    b, nh, qh, qw, hd = 2, 2, 6, 4, 8
+    L = qh * qw
+    q = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    k = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    v = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    rph = jnp.asarray(RNG.randn(2 * qh - 1, hd), jnp.float32)
+    rpw = jnp.asarray(RNG.randn(2 * qw - 1, hd), jnp.float32)
+    scale = hd ** -0.5
+    gref = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+
+    def loss_ref(*a):
+        return jnp.sum(_xla_ref(*a[:3], a[3], a[4], (qh, qw), scale) * gref)
+
+    def loss_pal(*a):
+        return jnp.sum(flash_attention_relpos(
+            *a, (qh, qw), (qh, qw), scale, block_q=block_q) * gref)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rph, rpw)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(q, k, v, rph, rpw)
+    for name, a, b_ in zip("q k v rph rpw".split(), g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5, err_msg=name)
