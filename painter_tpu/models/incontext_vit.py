@@ -267,7 +267,8 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                     merge_between_batch: int = -1, train: bool = False,
                     rng: Optional[jax.Array] = None,
                     attn_impl: str = "xla",
-                    remat: bool = False) -> List[jnp.ndarray]:
+                    remat: bool = False,
+                    act_constraint=None) -> List[jnp.ndarray]:
     """imgs/tgts (B, H, W, 3) NHWC -> list of tapped features (B,Hp,Wp,C)."""
     dtype = cfg.compute_dtype
     kernel = params["patch_embed"]["kernel"].astype(dtype)
@@ -307,6 +308,11 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
         y = y + type_emb
 
     x = jnp.concatenate([x, y], axis=0)
+    # keep activations batch-sharded through the trunk so SPMD never
+    # round-trips them through a different layout (the involuntary-
+    # rematerialization warning on dp+fsdp meshes)
+    if act_constraint is not None:
+        x = act_constraint(x)
 
     dpr = _dpr_schedule(cfg)
     plan = _block_plan(cfg, merge_between_batch)
@@ -337,6 +343,8 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
         if i == cfg.merge_idx:
             half = x.shape[0] // 2
             x = (x[:half] + x[half:]) * 0.5
+            if act_constraint is not None:
+                x = act_constraint(x)
         if plan[i][2]:
             taps.append(x)
         i += 1
@@ -464,7 +472,7 @@ def forward(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
             seg_type: Optional[jnp.ndarray] = None,
             merge_between_batch: int = -1, train: bool = False,
             rng: Optional[jax.Array] = None, attn_impl: str = "xla",
-            remat: bool = False):
+            remat: bool = False, act_constraint=None):
     """Full forward. Returns (loss, patchified pred, bool_masked_pos),
 
     mirroring ``models_painter.py:464-472`` (NHWC in/out)."""
@@ -481,7 +489,7 @@ def forward(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                             seg_type=seg_type,
                             merge_between_batch=merge_between_batch,
                             train=train, rng=rng, attn_impl=attn_impl,
-                            remat=remat)
+                            remat=remat, act_constraint=act_constraint)
     pred = forward_decoder(params, cfg, feats)
     loss = forward_loss(cfg, pred, tgts, bool_masked_pos, valid)
     return loss, patchify(pred.astype(jnp.float32), cfg.patch_size), \

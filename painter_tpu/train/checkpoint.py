@@ -178,14 +178,36 @@ def _merge(dst: Params, src: Params, path=()):
     return skipped
 
 
+def interpolate_pos_embed_table(table: np.ndarray,
+                                target_positions: int,
+                                has_cls: bool = True) -> np.ndarray:
+    """Bicubic-resize a square pos-embed table to a new square size,
+
+    keeping the cls slot — the reference's checkpoint surgery
+    (``Painter/util/pos_embed.py:75-96``)."""
+    import jax.numpy as jnp
+    from painter_tpu.ops.resample import resize2d
+    extra = 1 if has_cls else 0
+    grid = table[extra:]
+    src = int(round(grid.shape[0] ** 0.5))
+    dst = int(round((target_positions - extra) ** 0.5))
+    assert src * src == grid.shape[0], grid.shape
+    assert dst * dst == target_positions - extra, target_positions
+    resized = np.asarray(resize2d(
+        jnp.asarray(grid.reshape(src, src, -1)), (dst, dst), "bicubic",
+        h_axis=0, w_axis=1)).reshape(dst * dst, -1)
+    return np.concatenate([table[:extra], resized]).astype(table.dtype)
+
+
 def load_torch_params(path: str, cfg: ModelConfig,
                       init: Optional[Params] = None,
                       key: str = "model") -> Params:
     """Load a reference .pth checkpoint.
 
-    With ``init`` given, converted tensors overlay the init tree and
-    shape-mismatched entries keep the init value — the MAE-surgery +
-    strict=False behavior of ``main_train.py:199-224``.
+    With ``init`` given, converted tensors overlay the init tree;
+    a size-mismatched pos_embed is bicubic-interpolated
+    (``main_train.py:199-224`` + ``util/pos_embed.py:75-96``) and other
+    shape-mismatched entries keep the init value (strict=False).
     """
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -194,6 +216,13 @@ def load_torch_params(path: str, cfg: ModelConfig,
     if init is None:
         return converted
     out = jax.tree_util.tree_map(np.asarray, init)
+    if "pos_embed" in converted and "pos_embed" in out and \
+            converted["pos_embed"].shape != out["pos_embed"].shape:
+        converted["pos_embed"] = interpolate_pos_embed_table(
+            converted["pos_embed"], out["pos_embed"].shape[0],
+            cfg.pretrain_use_cls_token)
+        print("[checkpoint] interpolated pos_embed to "
+              f"{converted['pos_embed'].shape}")
     skipped = _merge(out, converted)
     for name, got, want in skipped:
         print(f"[checkpoint] skipping {name}: ckpt {got} vs model {want}")

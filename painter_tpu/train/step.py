@@ -30,7 +30,7 @@ def init_train_state(params: Any,
 
 def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
                     accum_iter: int = 1, remat: bool = True,
-                    attn_impl: str = "xla"):
+                    attn_impl: str = "xla", mesh=None):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     batch: dict with 'imgs', 'tgts' (B, H, W, 3), 'mask' (B, L),
@@ -38,11 +38,21 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
     every leaf carries a leading (accum_iter,) microbatch axis.
     """
 
+    act_constraint = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def act_constraint(x):
+            spec = P(("dp", "fsdp"), *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec))
+
     def loss_fn(params, micro, rng):
         loss, _, _ = model_lib.forward(
             params, cfg, micro["imgs"], micro["tgts"], micro["mask"],
             micro["valid"], seg_type=micro.get("seg_type"),
-            train=True, rng=rng, remat=remat, attn_impl=attn_impl)
+            train=True, rng=rng, remat=remat, attn_impl=attn_impl,
+            act_constraint=act_constraint)
         return loss
 
     grad_fn = jax.value_and_grad(loss_fn)

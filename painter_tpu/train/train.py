@@ -135,7 +135,8 @@ def main(args):
         "pallas" if devices[0].platform == "tpu" else "xla")
     train_step = jax.jit(
         step_lib.make_train_step(cfg, optimizer, accum_iter=args.accum_iter,
-                                 remat=args.remat, attn_impl=attn_impl),
+                                 remat=args.remat, attn_impl=attn_impl,
+                                 mesh=mesh),
         donate_argnums=(0,))
     eval_step = jax.jit(step_lib.make_eval_step(cfg))
 

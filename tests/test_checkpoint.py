@@ -107,3 +107,26 @@ def test_orbax_save_and_auto_resume(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["params"]["norm"]["scale"]),
         np.asarray(state["params"]["norm"]["scale"]))
+
+
+def test_pos_embed_interpolation_surgery(tmp_path):
+    """ckpt with 14x14+cls table loads into an 8x8+cls model via bicubic
+    interpolation (util/pos_embed.py:75-96 semantics)."""
+    import torch.nn.functional as F
+    cfg = configs.tiny_test_config(img_size=(64, 32), patch_size=8,
+                                   pretrain_img_size=64)  # 8x8 grid
+    src_table = np.random.RandomState(0).randn(197, cfg.embed_dim).astype(
+        np.float32)
+    sd = {"pos_embed": torch.from_numpy(src_table[None])}
+    path = os.path.join(tmp_path, "pos.pth")
+    torch.save({"model": sd}, path)
+    init = m.init_params(jax.random.PRNGKey(0), cfg)
+    out = ckpt_lib.load_torch_params(path, cfg, init=init)
+    assert out["pos_embed"].shape == (65, cfg.embed_dim)
+    # torch oracle for the grid part
+    ref = F.interpolate(
+        torch.from_numpy(src_table[1:]).reshape(1, 14, 14, -1)
+        .permute(0, 3, 1, 2), size=(8, 8), mode="bicubic",
+        align_corners=False).permute(0, 2, 3, 1).reshape(64, -1).numpy()
+    np.testing.assert_allclose(out["pos_embed"][1:], ref, atol=1e-5)
+    np.testing.assert_allclose(out["pos_embed"][0], src_table[0])
