@@ -42,8 +42,10 @@ def main():
 
         @jax.jit
         def fn(params):
-            return m.predict_image(params, cfg, imgs, tgts, mask,
-                                   seg_type=seg_type, attn_impl=attn_impl)
+            # the engines' production path: decode only the query half
+            return m.predict_query_half(params, cfg, imgs, tgts, mask,
+                                        seg_type=seg_type,
+                                        attn_impl=attn_impl)
         return fn
 
     def measure(batch, attn_impl, iters=10):

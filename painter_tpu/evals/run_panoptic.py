@@ -1,0 +1,130 @@
+"""COCO panoptic evaluation driver: fuse painted inst + semseg predictions.
+
+Mirrors the reference's two-pass protocol (``eval/coco_panoptic/eval.sh``):
+pass 1 paints class-agnostic instance predictions (prompted at input 560,
+dist_thr 19) and semantic predictions; this driver decodes both, votes
+instance classes from the semantic distance maps, fuses panoptically
+(overlap 0.5 / stuff-area 8192 / score 0.55,
+``COCOPanoEvaluatorCustom.py:47-134,259-297``) and computes PQ natively.
+
+GT: COCO panoptic format — a directory of id-encoded PNGs + the panoptic
+json with segments_info (category ids remapped to contiguous
+thing[0..79]/stuff[80..132] ids via the category list).
+
+Usage:
+  python -m painter_tpu.evals.run_panoptic --inst_dir out_inst/ \
+      --semseg_dir out_semseg/ --gt_json panoptic_val2017.json \
+      --gt_dir panoptic_val2017/ [--dist_thr 19]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("coco panoptic fusion eval", add_help=False)
+    p.add_argument("--inst_dir", required=True,
+                   help="painted class-agnostic instance PNGs")
+    p.add_argument("--semseg_dir", required=True,
+                   help="painted semantic PNGs")
+    p.add_argument("--gt_json", required=True)
+    p.add_argument("--gt_dir", required=True)
+    p.add_argument("--dist_thr", type=float, default=19.0)
+    p.add_argument("--dist_type", default="abs")
+    p.add_argument("--overlap_threshold", type=float, default=0.5)
+    p.add_argument("--stuff_area_thresh", type=float, default=8192)
+    p.add_argument("--instances_score_thresh", type=float, default=0.55)
+    p.add_argument("--max_images", type=int, default=-1)
+    return p
+
+
+def contiguous_category_map(categories):
+    """COCO category ids -> contiguous [things..., stuff...] ids
+
+    (things first, preserving order — detectron2 convention)."""
+    things = [c for c in categories if c.get("isthing", 1) == 1]
+    stuff = [c for c in categories if c.get("isthing", 1) == 0]
+    mapping = {}
+    for i, c in enumerate(things):
+        mapping[c["id"]] = i
+    for i, c in enumerate(stuff):
+        mapping[c["id"]] = len(things) + i
+    return mapping, len(things)
+
+
+def evaluate(args) -> dict:
+    import jax.numpy as jnp
+    from PIL import Image
+    from painter_tpu.data.prep import panoptic_png_to_ids
+    from painter_tpu.evals.instseg import decode_instances
+    from painter_tpu.evals.panoptic import (PQStat,
+                                            combine_semantic_and_instance,
+                                            vote_instance_classes)
+    from painter_tpu.ops.palette import (coco_semseg_palette,
+                                         color_distance_map,
+                                         nearest_color_decode)
+    import jax
+
+    with open(args.gt_json) as f:
+        gt = json.load(f)
+    cat_map, num_things = contiguous_category_map(gt["categories"])
+    gt_by_file = {a["file_name"]: a for a in gt["annotations"]}
+
+    palette = jnp.asarray(coco_semseg_palette(), jnp.float32)
+    dist_fn = jax.jit(lambda img: color_distance_map(img, palette,
+                                                     args.dist_type))
+    decode_fn = jax.jit(lambda img: nearest_color_decode(img, palette,
+                                                         args.dist_type))
+
+    stat = PQStat()
+    files = sorted(glob.glob(os.path.join(args.inst_dir, "*.png")))
+    if args.max_images > 0:
+        files = files[:args.max_images]
+    n_eval = 0
+    for inst_path in files:
+        base = os.path.basename(inst_path)
+        sem_path = os.path.join(args.semseg_dir, base)
+        if base not in gt_by_file or not os.path.exists(sem_path):
+            continue
+        inst_png = np.asarray(Image.open(inst_path).convert("RGB"),
+                              np.float32)
+        sem_png = np.asarray(Image.open(sem_path).convert("RGB"),
+                             np.float32)
+        inst = decode_instances(inst_png, dist_thr_list=(args.dist_thr,))
+        sem_dist = np.asarray(dist_fn(jnp.asarray(sem_png)))
+        sem_map = np.asarray(decode_fn(jnp.asarray(sem_png)))
+        classes = vote_instance_classes(inst["masks"], sem_dist,
+                                        num_things)
+        pan, segs = combine_semantic_and_instance(
+            inst["masks"], inst["scores"], classes, sem_map,
+            args.overlap_threshold, args.stuff_area_thresh,
+            args.instances_score_thresh, num_things)
+
+        ann = gt_by_file[base]
+        gt_png = np.asarray(Image.open(
+            os.path.join(args.gt_dir, base)).convert("RGB"))
+        gt_map = panoptic_png_to_ids(gt_png).astype(np.int64)
+        gt_segs = [{"id": s["id"],
+                    "category_id": cat_map[s["category_id"]],
+                    "isthing": cat_map[s["category_id"]] < num_things}
+                   for s in ann["segments_info"]]
+        stat.process_image(pan, segs, gt_map, gt_segs)
+        n_eval += 1
+    res = stat.evaluate()
+    res["n_images"] = n_eval
+    return res
+
+
+def main():
+    args = get_args_parser().parse_args()
+    res = evaluate(args)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,14 +84,14 @@ class InContextModel:
 
         @functools.partial(jax.jit, static_argnames=("merge",))
         def _predict(params, imgs, tgts, mask, seg_type_arr, merge):
-            pred = model_lib.predict_image(
+            # query-half fast path: decodes only sample 0's bottom-half
+            # tokens (bitwise == slicing the full decode); de-normalize
+            # fused (seggpt_engine.py:48-53)
+            out = model_lib.predict_query_half(
                 params, self.cfg, imgs, tgts, mask,
                 seg_type=seg_type_arr, merge_between_batch=merge,
                 attn_impl=self.attn_impl)
-            # bottom half of sample 0, de-normalized (seggpt_engine.py:48-53)
-            half = pred.shape[1] // 2
-            out = image_ops.denormalize(pred[0, half:])
-            return out
+            return image_ops.denormalize(out)
 
         self._predict = _predict
 

@@ -508,3 +508,30 @@ def predict_image(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                             merge_between_batch=merge_between_batch,
                             train=False, attn_impl=attn_impl)
     return forward_decoder(params, cfg, feats).astype(jnp.float32)
+
+
+def predict_query_half(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
+                       tgts: jnp.ndarray, bool_masked_pos: jnp.ndarray,
+                       seg_type: Optional[jnp.ndarray] = None,
+                       merge_between_batch: int = -1,
+                       attn_impl: str = "xla") -> jnp.ndarray:
+    """In-context inference fast path -> (H/2, W, 3) painted query half.
+
+    The engines only ever read the bottom (query) half of sample 0
+    (``seggpt_engine.py:51``; multi-prompt ensembling makes all samples'
+    query halves identical, models_seggpt.py:221-230). Decoding only
+    those tokens — plus one extra token row so the decoder's 3x3 conv
+    sees its real 16-pixel context across the seam, cropped after — is
+    bitwise-equivalent to slicing the full decode, and cuts decoder
+    FLOPs by 2 x num_prompts.
+    """
+    feats = forward_encoder(params, cfg, imgs, tgts,
+                            bool_masked_pos.reshape(imgs.shape[0], -1),
+                            seg_type=seg_type,
+                            merge_between_batch=merge_between_batch,
+                            train=False, attn_impl=attn_impl)
+    gh = feats[0].shape[1]
+    half = gh // 2
+    sliced = [f[:1, half - 1:] for f in feats]
+    pred = forward_decoder(params, cfg, sliced)
+    return pred[0, cfg.patch_size:].astype(jnp.float32)

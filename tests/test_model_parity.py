@@ -114,3 +114,16 @@ def test_train_mode_runs_and_remat_matches():
     # deterministic across calls with the same key
     l3, _, _ = m.forward(*args, train=True, rng=rng)
     assert float(l1) == float(l3)
+
+
+def test_predict_query_half_equals_full_decode_slice():
+    cfg = configs.tiny_test_config(seg_type_tokens=True)
+    params, imgs, tgts, mask, valid = _mk(cfg, batch=3)
+    st = jnp.zeros((3, 1), jnp.int32)
+    args = (params, cfg, jnp.asarray(imgs), jnp.asarray(tgts),
+            jnp.asarray(mask))
+    full = m.predict_image(*args, seg_type=st, merge_between_batch=0)
+    half = m.predict_query_half(*args, seg_type=st, merge_between_batch=0)
+    h = full.shape[1]
+    np.testing.assert_allclose(np.asarray(half),
+                               np.asarray(full[0, h // 2:]), atol=1e-6)
