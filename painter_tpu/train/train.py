@@ -60,6 +60,9 @@ def get_args_parser():
                    help="xla | pallas (default: pallas on TPU)")
     p.add_argument("--max_steps_per_epoch", default=-1, type=int,
                    help="truncate epochs (smoke tests)")
+    p.add_argument("--distributed", action="store_true", default=False,
+                   help="multi-host: jax.distributed.initialize() "
+                        "(replaces the reference's env:// rendezvous)")
     return p
 
 
@@ -76,6 +79,10 @@ def main(args):
     from painter_tpu.train import checkpoint as ckpt_lib
     from painter_tpu.train import optim, step as step_lib
     from painter_tpu.utils.logging import MetricLogger, append_log_line
+
+    if args.distributed:
+        jax.distributed.initialize()
+        print(f"process {jax.process_index()}/{jax.process_count()}")
 
     cfg = configs.get_config(
         args.model, img_size=tuple(args.input_size),
@@ -105,7 +112,11 @@ def main(args):
                                        num_mask_patches=args.num_mask_patches,
                                        patch_size=cfg.patch_size)
                    if args.val_json_path else None)
-    sampler = pd.WeightedMixtureSampler(dataset.weights, seed=args.seed)
+    # multi-host: each process loads its shard of the weighted draw
+    # (DistributedSamplerWrapper semantics, data/sampler.py)
+    sampler = pd.WeightedMixtureSampler(
+        dataset.weights, num_replicas=jax.process_count(),
+        rank=jax.process_index(), seed=args.seed)
 
     global_batch = args.batch_size * len(devices)
     steps_per_epoch = len(dataset) // (global_batch * args.accum_iter)
