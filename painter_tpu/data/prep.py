@@ -219,6 +219,56 @@ def keypoints_to_crop(keypoints: np.ndarray, center: np.ndarray,
     return out
 
 
+def make_pose_eval_crops(image_dir: str, det_json: str, coco_images_json: str,
+                         out_dir: str, out_hw: Tuple[int, int] = (256, 192),
+                         det_bbox_thr: float = 0.0,
+                         with_flip: bool = True) -> str:
+    """Build the offline pose test set: person crops + _flip crops + meta.
+
+    Mirrors the reference's pseudo-test data generation
+    (``coco_256x192_test_offline.py:103-109``: offline detection boxes
+    ``COCO_val2017_detections_AP_H_56_person.json``, flip crops in a
+    sibling ``*_flip`` directory, ``imagename_with_boxid``). Returns the
+    meta.json path consumed by :mod:`painter_tpu.evals.run_pose`.
+    """
+    with open(coco_images_json) as f:
+        images = {im["id"]: im["file_name"]
+                  for im in json.load(f)["images"]}
+    with open(det_json) as f:
+        dets = json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    metas = []
+    box_counter: Dict[int, int] = {}
+    for det in dets:
+        if det.get("category_id", 1) != 1:
+            continue
+        if det.get("score", 1.0) < det_bbox_thr:
+            continue
+        img_id = det["image_id"]
+        if img_id not in images:
+            continue
+        path = os.path.join(image_dir, images[img_id])
+        if not os.path.exists(path):
+            continue
+        image = np.asarray(Image.open(path).convert("RGB"))
+        box_idx = box_counter.get(img_id, 0)
+        box_counter[img_id] = box_idx + 1
+        crop, center, scale = crop_person(image, det["bbox"], out_hw)
+        key = f"{os.path.splitext(images[img_id])[0]}_box{box_idx}"
+        Image.fromarray(crop).save(os.path.join(out_dir, key + ".png"))
+        if with_flip:
+            Image.fromarray(crop[:, ::-1]).save(
+                os.path.join(out_dir, key + "_flip.png"))
+        metas.append({"key": key, "image_id": img_id,
+                      "center": [float(center[0]), float(center[1])],
+                      "scale": [float(scale[0]), float(scale[1])],
+                      "bbox_score": float(det.get("score", 1.0))})
+    meta_path = os.path.join(out_dir, "meta.json")
+    with open(meta_path, "w") as f:
+        json.dump(metas, f)
+    return meta_path
+
+
 # ---------------------------------------------------------------------------
 # pair-list JSONs + toy dataset
 # ---------------------------------------------------------------------------

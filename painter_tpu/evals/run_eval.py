@@ -27,8 +27,9 @@ from typing import Optional
 def get_args_parser():
     p = argparse.ArgumentParser("painter-tpu eval", add_help=False)
     p.add_argument("--task", required=True,
-                   choices=["ade20k_semseg", "coco_semseg", "depth",
-                            "derain", "sidd", "lol", "seggpt_semseg"])
+                   choices=["ade20k_semseg", "coco_semseg", "coco_inst",
+                            "depth", "derain", "sidd", "lol",
+                            "seggpt_semseg", "pose"])
     p.add_argument("--ckpt_path", default=None)
     p.add_argument("--model", default=None,
                    help="preset name; default picked per task")
@@ -52,11 +53,13 @@ def get_args_parser():
 TASK_TO_ENGINE_SPEC = {
     "ade20k_semseg": "ade20k_semseg",
     "coco_semseg": "coco_semseg",
+    "coco_inst": "coco_inst",     # paint @560, decode via run_panoptic
     "seggpt_semseg": "seggpt",
     "depth": "depth",
     "derain": "restoration",
     "sidd": "restoration",
     "lol": "restoration",
+    "pose": "pose",               # paints 256x192 crops; AP via run_pose
 }
 
 
@@ -119,6 +122,12 @@ def paint_predictions(args, model) -> list:
         elif spec.out_scale == 1.0:
             Image.fromarray(
                 (np.clip(out, 0, 1) * 255).astype(np.uint8)).save(out_path)
+            if args.task == "sidd":
+                # reference also emits Idenoised .mat blocks
+                # (painter_inference_sidd.py:169)
+                from scipy.io import savemat
+                savemat(out_path.replace(".png", ".mat"),
+                        {"Idenoised_crop": np.clip(out, 0, 1)})
         else:
             Image.fromarray(out.astype(np.uint8)).save(out_path)
         outputs.append((path, out_path))

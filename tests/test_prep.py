@@ -107,3 +107,30 @@ def test_gen_json_and_toy_dataset(tmp_path):
     assert len(toy_pairs) == 2
     assert os.path.exists(os.path.join(root, "toy",
                                        toy_pairs[0]["image_path"]))
+
+
+def test_make_pose_eval_crops(tmp_path):
+    rng = np.random.RandomState(0)
+    imd = tmp_path / "imgs"
+    imd.mkdir()
+    Image.fromarray((rng.rand(480, 640, 3) * 255).astype(np.uint8)).save(
+        imd / "000001.jpg")
+    (tmp_path / "coco.json").write_text(json.dumps(
+        {"images": [{"id": 1, "file_name": "000001.jpg"}]}))
+    (tmp_path / "dets.json").write_text(json.dumps([
+        {"image_id": 1, "category_id": 1, "bbox": [100, 80, 120, 300],
+         "score": 0.9},
+        {"image_id": 1, "category_id": 1, "bbox": [300, 100, 100, 250],
+         "score": 0.02},
+    ]))
+    meta_path = prep.make_pose_eval_crops(
+        str(imd), str(tmp_path / "dets.json"), str(tmp_path / "coco.json"),
+        str(tmp_path / "crops"), det_bbox_thr=0.1)
+    metas = json.load(open(meta_path))
+    assert len(metas) == 1  # low-score box filtered
+    key = metas[0]["key"]
+    crop = np.asarray(Image.open(tmp_path / "crops" / f"{key}.png"))
+    flip = np.asarray(Image.open(tmp_path / "crops" / f"{key}_flip.png"))
+    assert crop.shape == (256, 192, 3)
+    np.testing.assert_array_equal(flip, crop[:, ::-1])
+    assert metas[0]["bbox_score"] == 0.9
