@@ -49,16 +49,21 @@ def main():
         return fn
 
     def measure(batch, attn_impl, iters=10):
-        """Pipelined throughput: JAX async dispatch queues iters steps and
-        blocks once — the serving steady state (per-call blocking would
-        charge host/relay dispatch latency to every step)."""
+        """Depth-2 pipelined throughput: keep two steps in flight so the
+        ~35 ms host/relay dispatch latency overlaps compute (the serving
+        steady state) while every completion is still observed — a
+        block-once-at-the-end loop can under-report if the runtime
+        acknowledges enqueues early."""
         fn = make_fn(batch, attn_impl)
         fn(params).block_until_ready()  # compile
         t0 = time.perf_counter()
-        out = None
+        prev = None
         for _ in range(iters):
-            out = fn(params)
-        out.block_until_ready()
+            cur = fn(params)
+            if prev is not None:
+                prev.block_until_ready()
+            prev = cur
+        prev.block_until_ready()
         med = (time.perf_counter() - t0) / iters
         return batch / med, med
 

@@ -64,15 +64,20 @@ def _dot(a, b, trans_a=False, trans_b=False):
                                preferred_element_type=jnp.float32)
 
 
-def _softmax_rows(q, k, rel_h, rel_w, eh, ew):
-    """(block_q, L) row-softmax with in-kernel bias expansion (fp32)."""
+def _exp_rows(q, k, rel_h, rel_w, eh, ew):
+    """(block_q, L) max-subtracted exp logits + row sums (fp32)."""
     s = _dot(q, k, trans_b=True)
     s += _dot(rel_h, eh)
     s += _dot(rel_w, ew)
     s -= jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    return p * pl.reciprocal(denom, approx=False)
+    e = jnp.exp(s)
+    return e, jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _softmax_rows(q, k, rel_h, rel_w, eh, ew):
+    """(block_q, L) row-softmax with in-kernel bias expansion (fp32)."""
+    e, denom = _exp_rows(q, k, rel_h, rel_w, eh, ew)
+    return e * pl.reciprocal(denom, approx=False)
 
 
 def _row_mask(i, block_q, lq):
@@ -83,9 +88,12 @@ def _row_mask(i, block_q, lq):
 
 def _attn_fwd_kernel(q_ref, k_ref, v_ref, rel_h_ref, rel_w_ref, eh_ref,
                      ew_ref, o_ref):
-    p = _softmax_rows(q_ref[0], k_ref[0], rel_h_ref[0], rel_w_ref[0],
-                      eh_ref[:], ew_ref[:])
-    o_ref[0] = _dot(p.astype(v_ref.dtype), v_ref[0]).astype(o_ref.dtype)
+    # normalize after the PV matmul: one (block_q, hd) scale instead of a
+    # (block_q, L) probability materialization pass
+    e, denom = _exp_rows(q_ref[0], k_ref[0], rel_h_ref[0], rel_w_ref[0],
+                         eh_ref[:], ew_ref[:])
+    o = _dot(e.astype(v_ref.dtype), v_ref[0])
+    o_ref[0] = (o * pl.reciprocal(denom, approx=False)).astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(lq_ref, q_ref, k_ref, v_ref, rel_h_ref, rel_w_ref,
