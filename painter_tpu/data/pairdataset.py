@@ -80,8 +80,19 @@ class PairDataset:
     def __len__(self) -> int:
         return len(self.pairs)
 
-    def _load_image(self, path: str) -> Image.Image:
-        img = Image.open(os.path.join(self.root, path))
+    def _load_image(self, path: str, max_retries: int = 5) -> Image.Image:
+        # retry on flaky filesystems (pairdataset.py:81-90 retries
+        # forever; bounded here so a missing file fails loudly)
+        for attempt in range(max_retries):
+            try:
+                img = Image.open(os.path.join(self.root, path))
+                break
+            except OSError as e:
+                if attempt == max_retries - 1:
+                    raise
+                print(f"Caught exception: {e}. Re-trying...")
+                import time
+                time.sleep(1)
         if "sync_depth" in path:
             # nyuv2 depth range 0..10m stored x1e4 -> 0..255 gray
             arr = np.asarray(img, np.float64) / 10000.0 * 255.0
