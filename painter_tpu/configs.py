@@ -92,22 +92,26 @@ class ModelConfig:
 def painter_vit_large_patch16_input896x448_win_dec64_8glb_sl1(
         **kwargs) -> ModelConfig:
     """Painter ViT-L preset (models_painter.py:476-487)."""
-    return ModelConfig(
+    defaults = dict(
         img_size=(896, 448), patch_size=16, embed_dim=1024, depth=24,
         num_heads=16, drop_path_rate=0.1, window_size=14, qkv_bias=True,
         mlp_ratio=4.0, use_rel_pos=True, decoder_embed_dim=64,
         loss_func="smoothl1", seg_type_tokens=False,
-        loss_denom_eps=1e-2, near_black_check=True, **kwargs)
+        loss_denom_eps=1e-2, near_black_check=True)
+    defaults.update(kwargs)
+    return ModelConfig(**defaults)
 
 
 def seggpt_vit_large_patch16_input896x448(**kwargs) -> ModelConfig:
     """SegGPT ViT-L preset (models_seggpt.py:483-494)."""
-    return ModelConfig(
+    defaults = dict(
         img_size=(896, 448), patch_size=16, embed_dim=1024, depth=24,
         num_heads=16, drop_path_rate=0.1, window_size=14, qkv_bias=True,
         mlp_ratio=4.0, use_rel_pos=True, decoder_embed_dim=64,
         loss_func="smoothl1", seg_type_tokens=True,
-        loss_denom_eps=0.0, near_black_check=False, **kwargs)
+        loss_denom_eps=0.0, near_black_check=False)
+    defaults.update(kwargs)
+    return ModelConfig(**defaults)
 
 
 def tiny_test_config(**kwargs) -> ModelConfig:

@@ -248,19 +248,74 @@ def collate(samples: Sequence[Dict]) -> Dict[str, np.ndarray]:
 
 def data_iterator(dataset: PairDataset, sampler: WeightedMixtureSampler,
                   batch_size: int, epoch: int, seed: int = 0,
-                  accum_iter: int = 1):
+                  accum_iter: int = 1, num_workers: Optional[int] = None,
+                  prefetch: int = 2):
     """Yields host batches; with accum_iter > 1, leaves have a leading
 
-    microbatch axis (matching train.step)."""
+    microbatch axis (matching train.step). Samples are built by a thread
+    pool with ``prefetch`` batches in flight (the reference's
+    DataLoader(num_workers=10) role; PIL/numpy release the GIL)."""
+    from collections import deque
+    from concurrent.futures import ProcessPoolExecutor
+
+    if num_workers is None:
+        # worker processes only pay off with spare cores (each sample is
+        # ~14MB of IPC); single-core hosts run the serial path
+        num_workers = min(8, (os.cpu_count() or 1) - 1)
+
     indices = sampler.epoch_indices(epoch)
     step_size = batch_size * accum_iter
-    for start in range(0, len(indices) - step_size + 1, step_size):
-        chunk = indices[start:start + step_size]
-        samples = [dataset.get(int(i),
-                               np.random.default_rng((seed, epoch, int(start + j), int(i))))
-                   for j, i in enumerate(chunk)]
+    starts = list(range(0, len(indices) - step_size + 1, step_size))
+
+    def fetch_local(start, j):
+        i = int(indices[start + j])
+        return dataset.get(i, np.random.default_rng(
+            (seed, epoch, int(start + j), i)))
+
+    def assemble(samples):
         batch = collate(samples)
         if accum_iter > 1:
             batch = {k: v.reshape((accum_iter, batch_size) + v.shape[1:])
                      for k, v in batch.items()}
-        yield batch
+        return batch
+
+    if num_workers <= 1:
+        for start in starts:
+            yield assemble([fetch_local(start, j)
+                            for j in range(step_size)])
+        return
+
+    # worker processes (the sample pipeline is GIL-bound python+PIL, so
+    # threads don't help — mirrors DataLoader(num_workers=10))
+    jobs = [(int(indices[start + j]), (seed, epoch, int(start + j),
+                                       int(indices[start + j])))
+            for start in starts for j in range(step_size)]
+    with ProcessPoolExecutor(
+            max_workers=num_workers, initializer=_worker_init,
+            initargs=(dataset,)) as pool:
+        window = step_size * max(prefetch, 1)
+        futs = deque(pool.submit(_worker_fetch, job)
+                     for job in jobs[:window])
+        next_submit = min(window, len(jobs))
+        for _ in starts:
+            samples = []
+            for _ in range(step_size):
+                samples.append(futs.popleft().result())
+                if next_submit < len(jobs):
+                    futs.append(pool.submit(_worker_fetch,
+                                            jobs[next_submit]))
+                    next_submit += 1
+            yield assemble(samples)
+
+
+_WORKER_DATASET: Optional[PairDataset] = None
+
+
+def _worker_init(dataset: PairDataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_fetch(job):
+    index, rng_key = job
+    return _WORKER_DATASET.get(index, np.random.default_rng(rng_key))

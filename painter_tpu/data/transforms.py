@@ -75,21 +75,14 @@ def adjust_hue(arr: np.ndarray, factor: float) -> np.ndarray:
     h = np.where(delta == 0, 0.0, h)
     h = (h / 6.0) % 1.0
     h = (h + factor) % 1.0
-    # hsv -> rgb
-    i = np.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(np.int32) % 6
-    out = np.empty_like(arr)
-    conds = [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v),
-             (v, p, q)]
-    for idx, (rr, gg, bb) in enumerate(conds):
-        m = i == idx
-        out[..., 0][m] = rr[m]
-        out[..., 1][m] = gg[m]
-        out[..., 2][m] = bb[m]
+
+    # vectorized hsv -> rgb: c(n) = v - v*s*clip(min(k, 4-k), 0, 1),
+    # k = (n + 6h) mod 6, n = 5/3/1 for r/g/b
+    def chan(n):
+        k = (n + h * 6.0) % 6.0
+        return v - v * s * np.clip(np.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    out = np.stack([chan(5.0), chan(3.0), chan(1.0)], axis=-1)
     return np.clip(out, 0.0, 1.0)
 
 
@@ -243,22 +236,35 @@ def seccrop_transform(input_size: Tuple[int, int],
     ])
 
 
+def _np_resize2d(x: np.ndarray, out_hw, mode: str) -> np.ndarray:
+    """Host-side torch-exact resize (numpy matmuls with the cached weight
+    matrices; the data pipeline must never round-trip the device)."""
+    from painter_tpu.ops.resample import nearest_indices, resize_weights
+    h, w = x.shape[:2]
+    if mode == "nearest":
+        return x[nearest_indices(h, out_hw[0])][:,
+                                                nearest_indices(w, out_hw[1])]
+    m = {"bicubic": "cubic", "bilinear": "linear"}[mode]
+    wh = resize_weights(h, out_hw[0], m).astype(np.float32)
+    ww = resize_weights(w, out_hw[1], m).astype(np.float32)
+    # tensordot -> BLAS gemm (einsum here is orders slower)
+    y = np.tensordot(wh, x.astype(np.float32), axes=(1, 0))  # (H, w, c)
+    z = np.tensordot(ww, y, axes=(1, 1))                     # (W, H, c)
+    return z.transpose(1, 0, 2)
+
+
 class ArrayRandomResizedCrop(PairRandomResizedCrop):
-    """RRC over already-normalized float arrays (HWC)."""
+    """RRC over already-normalized float arrays (HWC), host-side."""
 
     def __call__(self, img, tgt, rng, interp1=None, interp2=None):
-        from painter_tpu.ops.resample import resize2d
-        import jax.numpy as jnp
         h, w = img.shape[:2]
         top, left, ch, cw = self.get_params(_FakeSize(w, h), rng)
         mode1 = "nearest" if interp1 == "nearest" else "bicubic"
         mode2 = "nearest" if interp2 == "nearest" else "bicubic"
-        ic = img[top:top + ch, left:left + cw]
-        tc = tgt[top:top + ch, left:left + cw]
-        img = np.asarray(resize2d(jnp.asarray(ic), self.size, mode1,
-                                  h_axis=0, w_axis=1))
-        tgt = np.asarray(resize2d(jnp.asarray(tc), self.size, mode2,
-                                  h_axis=0, w_axis=1))
+        img = _np_resize2d(img[top:top + ch, left:left + cw],
+                           self.size, mode1)
+        tgt = _np_resize2d(tgt[top:top + ch, left:left + cw],
+                           self.size, mode2)
         return img, tgt
 
 

@@ -55,7 +55,10 @@ def get_args_parser():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--n_fsdp", default=1, type=int,
                    help="fsdp mesh axis size (ZeRO-like sharding)")
-    p.add_argument("--remat", action="store_true", default=True)
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="activation checkpointing (--no-remat is ~9%% "
+                        "faster at per-chip batch 2 and fits in 16G)")
     p.add_argument("--attn_impl", default=None,
                    help="xla | pallas (default: pallas on TPU)")
     p.add_argument("--max_steps_per_epoch", default=-1, type=int,
