@@ -7,7 +7,7 @@ sq_rel/rmse/rmse_log/d1/d2/d3 averaged over images.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

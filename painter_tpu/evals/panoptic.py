@@ -13,7 +13,7 @@ Behavioral contract from ``eval/coco_panoptic/COCOPanoEvaluatorCustom.py``:
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -8,7 +8,7 @@ and mIoU/fwIoU/pACC/mACC follow detectron2's formulas.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

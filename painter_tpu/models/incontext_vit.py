@@ -39,7 +39,6 @@ TPU-first design notes (not a translation):
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -49,7 +48,7 @@ import numpy as np
 from painter_tpu.configs import IMAGENET_MEAN, IMAGENET_STD, ModelConfig
 from painter_tpu.ops.attention import attention
 from painter_tpu.ops.norm import layer_norm
-from painter_tpu.ops.patches import patchify, unpatchify
+from painter_tpu.ops.patches import patchify
 from painter_tpu.ops.pos_embed import get_abs_pos
 from painter_tpu.ops.windows import window_partition, window_unpartition
 

@@ -7,8 +7,6 @@ math lives in jittable ops so engines can fuse it into the forward pass
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -8,8 +8,7 @@ gradient accumulation is a ``lax.scan`` over a leading microbatch axis.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

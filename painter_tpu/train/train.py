@@ -71,8 +71,6 @@ def get_args_parser():
 
 def main(args):
     import jax
-    import jax.numpy as jnp
-    import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from painter_tpu import configs
