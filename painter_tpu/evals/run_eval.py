@@ -47,6 +47,10 @@ def get_args_parser():
     p.add_argument("--dist_type", default="abs")
     p.add_argument("--max_images", type=int, default=-1)
     p.add_argument("--skip_metrics", action="store_true")
+    p.add_argument("--decode_only", action="store_true",
+                   help="phase 2 only: score existing painted PNGs in "
+                        "--output_dir (the reference's separate decode "
+                        "process, e.g. after multi-shard painting)")
     return p
 
 
@@ -195,8 +199,27 @@ def compute_metrics(args, outputs) -> Optional[dict]:
     return None
 
 
+def recover_outputs(args) -> list:
+    """Pair existing painted PNGs in output_dir with their source images."""
+    outputs = []
+    for pred_path in sorted(glob.glob(os.path.join(args.output_dir,
+                                                   "*.png"))):
+        base = os.path.splitext(os.path.basename(pred_path))[0]
+        cands = glob.glob(os.path.join(args.image_dir, base + ".*"))
+        if cands:
+            outputs.append((cands[0], pred_path))
+    return outputs
+
+
 def main():
     args = get_args_parser().parse_args()
+    if args.decode_only:
+        outputs = recover_outputs(args)
+        print(f"decoding {len(outputs)} existing predictions")
+        metrics = compute_metrics(args, outputs)
+        if metrics is not None:
+            print(json.dumps({"task": args.task, **metrics}))
+        return
     model = build_model(args)
     print(f"model ready; painting shard {args.shard}/{args.num_shards}")
     outputs = paint_predictions(args, model)

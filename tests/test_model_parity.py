@@ -127,3 +127,54 @@ def test_predict_query_half_equals_full_decode_slice():
     h = full.shape[1]
     np.testing.assert_allclose(np.asarray(half),
                                np.asarray(full[0, h // 2:]), atol=1e-6)
+
+
+@pytest.mark.parametrize("loss_func", ["l1", "l2", "l1l2"])
+def test_loss_variants_match_torch_formulas(loss_func):
+    """models_painter.py:453-460 alternative losses."""
+    import torch
+    cfg = configs.tiny_test_config(loss_func=loss_func)
+    params, imgs, tgts, mask, valid = _mk(cfg)
+    loss, _, _ = m.forward(params, cfg, jnp.asarray(imgs),
+                           jnp.asarray(tgts), jnp.asarray(mask),
+                           jnp.asarray(valid))
+    # recompute with torch formulas on the jax prediction
+    _, pred_patches, _ = m.forward(params, cfg, jnp.asarray(imgs),
+                                   jnp.asarray(tgts), jnp.asarray(mask),
+                                   jnp.asarray(valid))
+    pred = torch.from_numpy(np.asarray(
+        unpatchify(pred_patches, cfg.patch_size))).double()
+    t = torch.from_numpy(tgts).double()
+    diff = pred - t
+    if loss_func == "l1":
+        ref = diff.abs()
+    elif loss_func == "l2":
+        ref = diff ** 2
+    else:
+        ref = (diff.abs() + diff ** 2) * 0.5
+    mask_pix = torch.from_numpy(np.asarray(
+        m.pixel_mask_from_patch_mask(jnp.asarray(mask), cfg,
+                                     tgts.shape[1:3]))).double()
+    v = torch.from_numpy(valid).double()
+    mean_t = torch.tensor(configs.IMAGENET_MEAN).double()
+    std_t = torch.tensor(configs.IMAGENET_STD).double()
+    denorm = t * std_t + mean_t
+    ign = (denorm * (1 - mask_pix)).sum((1, 2, 3)) < 300
+    v[ign] = 0.0
+    w = mask_pix * v
+    ref_loss = (ref * w).sum() / (w.sum() + cfg.loss_denom_eps)
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=2e-4)
+
+
+def test_windowed_blocks_pallas_interpret():
+    """window attention through the pallas kernel (interpret mode)."""
+    cfg = configs.tiny_test_config(window_block_indexes=(1, 3, 4),
+                                   window_size=3)
+    params, imgs, tgts, mask, valid = _mk(cfg)
+    args = (params, cfg, jnp.asarray(imgs), jnp.asarray(tgts),
+            jnp.asarray(mask), jnp.asarray(valid))
+    l_xla, p_xla, _ = m.forward(*args, attn_impl="xla")
+    l_pal, p_pal, _ = m.forward(*args, attn_impl="pallas")
+    np.testing.assert_allclose(np.asarray(p_pal), np.asarray(p_xla),
+                               atol=1e-4)
+    np.testing.assert_allclose(float(l_pal), float(l_xla), atol=1e-5)

@@ -83,3 +83,19 @@ def test_eval_driver_depth(synth, tmp_path):
     metrics = compute_metrics(args, outputs)
     assert {"rmse", "abs_rel", "d1"} <= set(metrics)
     assert np.isfinite(metrics["rmse"])
+
+
+def test_decode_only_mode(synth, tmp_path):
+    """Phase 1 with two shards, then one decode_only pass over all PNGs."""
+    out = tmp_path / "out_sharded"
+    for shard in (0, 1):
+        args = _args(synth, out, "ade20k_semseg",
+                     extra=["--num_shards", "2", "--shard", str(shard)])
+        model = build_model(args)
+        paint_predictions(args, model)
+    args = _args(synth, out, "ade20k_semseg", extra=["--decode_only"])
+    from painter_tpu.evals.run_eval import recover_outputs, compute_metrics
+    outputs = recover_outputs(args)
+    assert len(outputs) == 3  # both shards' outputs recovered
+    metrics = compute_metrics(args, outputs)
+    assert np.isfinite(metrics["mIoU"])
