@@ -14,6 +14,7 @@ north-star target is 2x A100 per chip (BASELINE.json).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -78,9 +79,15 @@ def main():
         return float(np.median(times))
 
     best = {"tp": 0.0, "batch": 1, "lat": 0.0, "impl": "xla"}
-    # xla materializes (B*16, L, L) logits and OOMs at b16 on a 16G chip
-    for attn_impl, batches in (("pallas", (1, 8, 16, 32)),
-                               ("xla", (8,))):
+    # default sweep is trimmed so a bench run stays well under driver
+    # timeouts (each ViT-L compile is 1-4 min on the remote-compile path);
+    # BENCH_FULL=1 adds the xla comparison and larger batches
+    # (xla materializes (B*16, L, L) logits and OOMs at b16 on 16G)
+    if os.environ.get("BENCH_FULL"):
+        sweep = (("pallas", (1, 8, 16, 32)), ("xla", (8,)))
+    else:
+        sweep = (("pallas", (8, 16)),)
+    for attn_impl, batches in sweep:
         for batch in batches:
             try:
                 tp, lat = measure(batch, attn_impl)
