@@ -63,6 +63,10 @@ def get_args_parser():
                    help="xla | pallas (default: pallas on TPU)")
     p.add_argument("--max_steps_per_epoch", default=-1, type=int,
                    help="truncate epochs (smoke tests)")
+    p.add_argument("--watchdog_freq", default=10, type=int,
+                   help="sync + NaN-check every N steps (the reference "
+                        "checks every step but also syncs every step; "
+                        "async dispatch needs the device to run ahead)")
     p.add_argument("--distributed", action="store_true", default=False,
                    help="multi-host: jax.distributed.initialize() "
                         "(replaces the reference's env:// rendezvous)")
@@ -168,6 +172,21 @@ def main(args):
         it = pd.data_iterator(dataset, sampler, global_batch, epoch,
                               seed=args.seed, accum_iter=args.accum_iter)
         t_epoch = time.time()
+        pending = []
+
+        def drain_metrics():
+            # one host sync for the whole window; the device ran ahead
+            for mt in pending:
+                loss_v = float(mt["loss"])
+                if not math.isfinite(loss_v):
+                    print(f"Loss is {loss_v}, stopping training "
+                          "(engine_train.py:70-72 watchdog)")
+                    sys.exit(1)
+                logger.update(loss=loss_v,
+                              grad_norm=float(mt["grad_norm"]))
+            pending.clear()
+
+        step_count = 0
         for step_idx, batch in enumerate(
                 logger.log_every(it, args.print_freq,
                                  header=f"Epoch [{epoch}]",
@@ -176,15 +195,14 @@ def main(args):
                 break
             batch = {k: jax.device_put(v, batch_sh)
                      for k, v in batch.items()}
-            step_rng = jax.random.fold_in(rng, int(state["step"]))
+            step_rng = jax.random.fold_in(rng, epoch * steps_per_epoch
+                                          + step_idx)
             state, metrics = train_step(state, batch, step_rng)
-            loss = float(metrics["loss"])
-            if not math.isfinite(loss):
-                print(f"Loss is {loss}, stopping training "
-                      "(engine_train.py:70-72 watchdog)")
-                sys.exit(1)
-            logger.update(loss=loss,
-                          grad_norm=float(metrics["grad_norm"]))
+            pending.append(metrics)
+            step_count += 1
+            if step_count % max(args.watchdog_freq, 1) == 0:
+                drain_metrics()
+        drain_metrics()
         stats = {f"train_{k}": v for k, v in logger.summary().items()}
 
         if val_dataset is not None:
