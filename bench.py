@@ -27,6 +27,9 @@ def main():
     import jax.numpy as jnp
     from painter_tpu import configs
     from painter_tpu.models import incontext_vit as m
+    from painter_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = configs.get_config("seggpt_vit_large_patch16_input896x448",
                              dtype="bfloat16")

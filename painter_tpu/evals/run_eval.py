@@ -69,6 +69,8 @@ TASK_TO_ENGINE_SPEC = {
 
 def build_model(args):
     import jax
+    from painter_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from painter_tpu import configs
     from painter_tpu.infer.engine import InContextModel
     from painter_tpu.models import incontext_vit as model_lib

@@ -31,6 +31,8 @@ def get_args_parser():
 
 def prepare_model(ckpt_path, model_name, seg_type):
     import jax
+    from painter_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from painter_tpu import configs
     from painter_tpu.infer.engine import InContextModel
     from painter_tpu.models import incontext_vit as model_lib

@@ -83,7 +83,10 @@ def main(args):
     from painter_tpu.parallel import mesh as mesh_lib
     from painter_tpu.train import checkpoint as ckpt_lib
     from painter_tpu.train import optim, step as step_lib
+    from painter_tpu.utils.cache import enable_compilation_cache
     from painter_tpu.utils.logging import MetricLogger, append_log_line
+
+    enable_compilation_cache()
 
     if args.distributed:
         jax.distributed.initialize()
