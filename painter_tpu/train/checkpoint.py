@@ -258,3 +258,44 @@ def restore_state(manager, state_like: Any, step: Optional[int] = None):
     restored = manager.restore(
         step, args=ocp.args.StandardRestore(state_like))
     return restored, step
+
+
+def export_torch_checkpoint(params: Params, cfg: ModelConfig,
+                            out_path: str) -> None:
+    """Save our params as a reference-format torch .pth (so checkpoints
+    trained here load in the original torch codebase)."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in params_to_torch_state_dict(params, cfg).items()}
+    torch.save({"model": sd}, out_path)
+
+
+def _export_cli():
+    import argparse
+    p = argparse.ArgumentParser("painter-tpu checkpoint export")
+    p.add_argument("--orbax_dir", required=True,
+                   help="CheckpointManager directory (train output)")
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--model", required=True, help="config preset name")
+    p.add_argument("--out", required=True, help="output .pth path")
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from painter_tpu import configs
+    from painter_tpu.models import incontext_vit as model_lib
+    from painter_tpu.train import optim, step as step_lib
+
+    cfg = configs.get_config(args.model)
+    params = model_lib.init_params(jax.random.PRNGKey(0), cfg)
+    optimizer = optim.make_optimizer(params, cfg, optim.OptimConfig())
+    state = step_lib.init_train_state(params, optimizer)
+    manager = checkpoint_manager(args.orbax_dir)
+    state, step = restore_state(manager, state, step=args.step)
+    assert step is not None, f"no checkpoint found in {args.orbax_dir}"
+    export_torch_checkpoint(state["params"], cfg, args.out)
+    print(f"exported step {step} -> {args.out}")
+
+
+if __name__ == "__main__":
+    _export_cli()

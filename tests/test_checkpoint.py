@@ -130,3 +130,14 @@ def test_pos_embed_interpolation_surgery(tmp_path):
         align_corners=False).permute(0, 2, 3, 1).reshape(64, -1).numpy()
     np.testing.assert_allclose(out["pos_embed"][1:], ref, atol=1e-5)
     np.testing.assert_allclose(out["pos_embed"][0], src_table[0])
+
+
+def test_export_torch_checkpoint_roundtrip(tmp_path):
+    cfg = _cfg()
+    params = m.init_params(jax.random.PRNGKey(3), cfg)
+    out = os.path.join(tmp_path, "export.pth")
+    ckpt_lib.export_torch_checkpoint(params, cfg, out)
+    loaded = ckpt_lib.load_torch_params(out, cfg)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        got = dict(jax.tree_util.tree_leaves_with_path(loaded))[path]
+        np.testing.assert_array_equal(np.asarray(leaf), got)

@@ -1,0 +1,90 @@
+"""Utilities: metric logger, log lines, demo-app HTTP endpoint, cache."""
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from painter_tpu.utils.logging import (MetricLogger, SmoothedValue,
+                                       append_log_line)
+
+
+def test_smoothed_value_windows():
+    v = SmoothedValue(window_size=3)
+    for x in (1.0, 2.0, 3.0, 4.0):
+        v.update(x)
+    assert v.value == 4.0
+    assert v.median == 3.0          # window [2,3,4]
+    assert v.global_avg == 2.5      # all four
+    assert v.max == 4.0
+
+
+def test_metric_logger_log_every_and_summary(capsys):
+    logger = MetricLogger()
+    for i in logger.log_every(range(5), print_freq=2, header="T", total=5):
+        logger.update(loss=float(i))
+    out = capsys.readouterr().out
+    assert "T [0/5]" in out and "Total time" in out
+    assert logger.summary()["loss"] == 2.0
+
+
+def test_append_log_line(tmp_path):
+    append_log_line(str(tmp_path), {"epoch": 0, "train_loss": 1.0})
+    append_log_line(str(tmp_path), {"epoch": 1, "train_loss": 0.5})
+    lines = [json.loads(l) for l in open(tmp_path / "log.txt")]
+    assert [l["epoch"] for l in lines] == [0, 1]
+
+
+def _b64_png(arr):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_demo_app_http_endpoint():
+    from painter_tpu.infer import demo_app
+
+    class Args:
+        ckpt_path = None
+        model = "tiny_test"
+        seg_type = "semantic"
+        port = 18947
+
+    t = threading.Thread(target=lambda: demo_app.serve(Args()), daemon=True)
+    t.start()
+    rng = np.random.RandomState(0)
+    req = {
+        "image": _b64_png((rng.rand(20, 24, 3) * 255).astype(np.uint8)),
+        "prompt_image": _b64_png((rng.rand(20, 24, 3) * 255).astype(
+            np.uint8)),
+        "prompt_target": _b64_png(np.full((20, 24, 3), 255, np.uint8)),
+    }
+    deadline = time.time() + 60
+    last_err = None
+    while time.time() < deadline:
+        try:
+            r = urllib.request.urlopen(urllib.request.Request(
+                "http://127.0.0.1:18947/paint",
+                json.dumps(req).encode(),
+                {"Content-Type": "application/json"}), timeout=30)
+            break
+        except Exception as e:  # noqa: BLE001 — server still starting
+            last_err = e
+            time.sleep(2)
+    else:
+        pytest.fail(f"demo server never came up: {last_err}")
+    out = json.loads(r.read())
+    img = Image.open(io.BytesIO(base64.b64decode(out["output"])))
+    assert img.size == (24, 20) and img.mode == "RGB"
+
+
+def test_compilation_cache_helper(tmp_path):
+    from painter_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache(str(tmp_path / "cache"))
+    import jax
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cache")
