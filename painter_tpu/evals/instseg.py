@@ -28,7 +28,7 @@ from painter_tpu.ops.palette import coco_instance_palette
 @functools.partial(jax.jit, static_argnames=("dist_thr",))
 def _candidate_stats(segm: jnp.ndarray, palette: jnp.ndarray,
                      dist_thr: float):
-    """segm (H, W, 3) -> per-color (num_pos, maskness_neg_sum)."""
+    """segm (H, W, 3) -> per-color (mask, num_pos, maskness_neg)."""
     # (K, H, W): mean-channel L1 distance to each palette color
     dist = jnp.abs(segm[None] - palette[:, None, None, :]).sum(-1) / 3.0
     mask = dist < dist_thr
@@ -40,20 +40,29 @@ def _candidate_stats(segm: jnp.ndarray, palette: jnp.ndarray,
 def decode_instances(segm: np.ndarray,
                      dist_thr_list: Sequence[float] = (19.0,),
                      topk_pre: int = 2000, max_num: int = 100,
-                     keep_all: bool = False) -> Dict[str, np.ndarray]:
-    """(H, W, 3) painted prediction -> {'masks' (N,H,W), 'scores' (N,)}."""
-    palette = jnp.asarray(coco_instance_palette()[:-1], jnp.float32)
+                     keep_all: bool = False,
+                     colors_per_chunk: int = 800) -> Dict[str, np.ndarray]:
+    """(H, W, 3) painted prediction -> {'masks' (N,H,W), 'scores' (N,)}.
+
+    The palette is processed in chunks of ``colors_per_chunk`` (the
+    reference uses 800, COCOCAInstSegEvaluatorCustom.py:282): a full
+    (6400, H, W) distance tensor would be ~7 GB at COCO image sizes.
+    """
+    full_palette = coco_instance_palette()[:-1].astype(np.float32)
     segm_j = jnp.asarray(segm, jnp.float32)
 
     masks_list: List[np.ndarray] = []
     neg_list: List[np.ndarray] = []
     for dist_thr in dist_thr_list:
-        mask, num_pos, neg = _candidate_stats(segm_j, palette,
-                                              float(dist_thr))
-        keep = np.asarray(num_pos) > 0
-        if keep.any():
-            masks_list.append(np.asarray(mask)[keep])
-            neg_list.append(np.asarray(neg)[keep])
+        for start in range(0, len(full_palette), colors_per_chunk):
+            chunk = jnp.asarray(
+                full_palette[start:start + colors_per_chunk])
+            mask, num_pos, neg = _candidate_stats(segm_j, chunk,
+                                                  float(dist_thr))
+            keep = np.asarray(num_pos) > 0
+            if keep.any():
+                masks_list.append(np.asarray(mask)[keep])
+                neg_list.append(np.asarray(neg)[keep])
 
     h, w = segm.shape[:2]
     if not masks_list:
