@@ -161,3 +161,22 @@ def test_data_iterator_batches(toy_root):
     b = batches[0]
     assert b["imgs"].shape == (2, 2, 64, 32, 3)
     assert b["mask"].shape == (2, 2, 8)
+
+
+def test_worker_pool_matches_serial(toy_root):
+    """ProcessPool loader must produce byte-identical batches to serial
+    (the per-sample rng keys are position-derived, not worker-derived)."""
+    root, json_paths = toy_root
+    ds = make_train_dataset(root, json_paths, img_size=(64, 32),
+                            num_mask_patches=4,
+                            max_mask_patches_per_block=4,
+                            min_mask_patches_per_block=1)
+    sampler = WeightedMixtureSampler(ds.weights)
+    serial = list(data_iterator(ds, sampler, batch_size=2, epoch=1,
+                                num_workers=1))
+    pooled = list(data_iterator(ds, sampler, batch_size=2, epoch=1,
+                                num_workers=2))
+    assert len(serial) == len(pooled)
+    for a, b in zip(serial, pooled):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)

@@ -64,6 +64,40 @@ def test_inference_video_rolling_cache(tiny_model, tmp_path):
     assert n == 3 and os.path.exists(out)
 
 
+def test_video_binarization_threshold(tiny_model, tmp_path, monkeypatch):
+    """Re-prompt targets binarize on the [0,1] output scale: a bright
+    prediction must yield a nonzero cached target (regression: the
+    reference's >128 threshold on x255 outputs silently produced
+    all-black re-prompts here)."""
+    import cv2
+    vid = str(tmp_path / "in2.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5, (48, 36))
+    rng = np.random.RandomState(1)
+    for _ in range(3):
+        w.write((rng.rand(36, 48, 3) * 255).astype(np.uint8))
+    w.release()
+    tgt = _write_img(str(tmp_path / "t2.png"), color=255)
+
+    bright = np.full((tiny_model.cfg.img_size[1],
+                      tiny_model.cfg.img_size[1], 3), 0.9, np.float32)
+    monkeypatch.setattr(tiny_model, "run_one_image",
+                        lambda imgs, tgts: bright)
+    captured = []
+    orig_build = engine.build_prompt_batch
+
+    def spy(query, prompts):
+        captured.append([t for _, t in prompts])
+        return orig_build(query, prompts)
+
+    monkeypatch.setattr(engine, "build_prompt_batch", spy)
+    engine.inference_video(tiny_model, vid, num_frames=2, img2_paths=None,
+                           tgt2_paths=[tgt], out_path=str(tmp_path / "o.mp4"),
+                           res=tiny_model.cfg.img_size[1])
+    # by the second frame the cache holds a binarized previous prediction
+    cached_targets = captured[-1][1:]
+    assert cached_targets and all(t.max() == 1.0 for t in cached_targets)
+
+
 def test_painter_task_specs(tiny_model, tmp_path):
     img = _write_img(str(tmp_path / "q.png"), size=(30, 26))
     p = _write_img(str(tmp_path / "p.png"))
