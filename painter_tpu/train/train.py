@@ -46,7 +46,8 @@ def get_args_parser():
     p.add_argument("--output_dir", default="./output")
     p.add_argument("--finetune", default="",
                    help="MAE-pretrained .pth for init surgery")
-    p.add_argument("--resume", default="")
+    p.add_argument("--resume", default="",
+                   help="torch .pth to warm-start weights from")
     p.add_argument("--auto_resume", action="store_true", default=True)
     p.add_argument("--save_freq", default=1, type=int)
     p.add_argument("--seed", default=0, type=int)
@@ -102,6 +103,11 @@ def main(args):
     if args.finetune:
         params = ckpt_lib.load_torch_params(args.finetune, cfg, init=params)
         print(f"initialized from {args.finetune}")
+    if args.resume:
+        # --resume <file.pth> warm-starts weights from a torch checkpoint
+        # (misc.py:316-331); orbax auto-resume below restores full state
+        params = ckpt_lib.load_torch_params(args.resume, cfg, init=params)
+        print(f"resumed weights from {args.resume}")
 
     devices = jax.devices()
     mesh = mesh_lib.make_mesh(len(devices) // args.n_fsdp, args.n_fsdp,
