@@ -42,6 +42,9 @@ class ModelConfig:
     window_size: int = 14
     # Empty = all blocks global (checkpoint parity; see module docstring).
     window_block_indexes: Tuple[int, ...] = ()
+    # ResBottleneckBlock after these blocks (models_painter.py:232-233);
+    # [] in every reference factory.
+    residual_block_indexes: Tuple[int, ...] = ()
     pretrain_img_size: int = 224
     pretrain_use_cls_token: bool = True
     decoder_embed_dim: int = 64

@@ -155,6 +155,36 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
         blocks["attn"]["rel_pos_h"] = jnp.zeros((depth, 2 * gh - 1, hd))
         blocks["attn"]["rel_pos_w"] = jnp.zeros((depth, 2 * gw - 1, hd))
     params["blocks"] = blocks
+
+    if cfg.residual_block_indexes:
+        # ResBottleneckBlock (models_painter.py:92-150): conv1x1 -> LN ->
+        # GELU -> conv3x3 -> LN -> GELU -> conv1x1 -> zero-init LN,
+        # residual added. Dead config in every reference factory
+        # (residual_block_indexes=[]) but part of the model surface.
+        # Params live per-index (unstackable: only some blocks have them).
+        bott = d // 2
+
+        def msra(k, shape, fan_out):
+            # detectron2 c2_msra_fill: kaiming_normal fan_out relu
+            std = np.sqrt(2.0 / fan_out)
+            return std * jax.random.normal(k, shape)
+
+        res = {}
+        for i in cfg.residual_block_indexes:
+            k1, k2, k3 = jax.random.split(next(keys), 3)
+            res[str(i)] = {
+                "conv1": {"kernel": msra(k1, (1, 1, d, bott), bott)},
+                "norm1": {"scale": jnp.ones((bott,)),
+                          "bias": jnp.zeros((bott,))},
+                "conv2": {"kernel": msra(k2, (3, 3, bott, bott),
+                                         9 * bott)},
+                "norm2": {"scale": jnp.ones((bott,)),
+                          "bias": jnp.zeros((bott,))},
+                "conv3": {"kernel": msra(k3, (1, 1, bott, d), d)},
+                "norm3": {"scale": jnp.zeros((d,)),
+                          "bias": jnp.zeros((d,))},
+            }
+        params["residual_blocks"] = res
     return params
 
 
@@ -202,6 +232,30 @@ def _feature_ensemble(x: jnp.ndarray, groups: int) -> jnp.ndarray:
     return jnp.concatenate([prompt, inputs], axis=1)
 
 
+def residual_bottleneck_apply(rp: Params, x: jnp.ndarray,
+                              eps: float = 1e-5) -> jnp.ndarray:
+    """ResBottleneckBlock over (B, H, W, C) (models_painter.py:144-150).
+
+    detectron2 get_norm("LN", ch) is channel-wise LayerNorm (eps 1e-5
+    default wrapped by LayerNorm2D semantics -> last axis here)."""
+    dtype = x.dtype
+
+    def conv(h, kernel):
+        return jax.lax.conv_general_dilated(
+            h, kernel.astype(dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    out = conv(x, rp["conv1"]["kernel"])
+    out = layer_norm(out, rp["norm1"]["scale"], rp["norm1"]["bias"], eps)
+    out = jax.nn.gelu(out, approximate=False)
+    out = conv(out, rp["conv2"]["kernel"])
+    out = layer_norm(out, rp["norm2"]["scale"], rp["norm2"]["bias"], eps)
+    out = jax.nn.gelu(out, approximate=False)
+    out = conv(out, rp["conv3"]["kernel"])
+    out = layer_norm(out, rp["norm3"]["scale"], rp["norm3"]["bias"], eps)
+    return x + out
+
+
 def block_apply(bp: Params, x: jnp.ndarray, cfg: ModelConfig, *,
                 window_size: int = 0, dpr=0.0,
                 ensemble_groups: int = 0,
@@ -247,7 +301,10 @@ def _dpr_schedule(cfg: ModelConfig) -> np.ndarray:
 
 
 def _block_plan(cfg: ModelConfig, merge_between_batch: int):
-    """Static per-block (window_size, ensemble_groups, tap?) plan."""
+    """Static per-block (window_size, ensemble_groups, boundary?) plan.
+
+    The third entry marks segment boundaries: feature taps and residual
+    bottleneck blocks both end a scan segment."""
     plan = []
     for i in range(cfg.depth):
         ws = cfg.window_size if i in cfg.window_block_indexes else 0
@@ -256,7 +313,9 @@ def _block_plan(cfg: ModelConfig, merge_between_batch: int):
             # merge=1 (two stream-groups) up to and incl. the stream-merge
             # block, merge=2 (one group) after (models_seggpt.py:425-429).
             groups = 2 if cfg.merge_idx >= i else 1
-        plan.append((ws, groups, i in cfg.out_indices))
+        boundary = (i in cfg.out_indices
+                    or i in cfg.residual_block_indexes)
+        plan.append((ws, groups, boundary))
     return plan
 
 
@@ -333,18 +392,25 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
 
     taps: List[jnp.ndarray] = []
 
+    def maybe_residual(x, i):
+        if i in cfg.residual_block_indexes:
+            x = residual_bottleneck_apply(
+                params["residual_blocks"][str(i)], x)
+        return x
+
     # --- prefix: idx 0..merge_idx, double-batch, unrolled (3 blocks) ---
     i = 0
     while i <= cfg.merge_idx:
         ws, groups, _ = plan[i]
         x = make_block(ws, groups)(_slice_block(blocks, i), x, dpr[i],
                                    step_rng(i))
+        x = maybe_residual(x, i)
         if i == cfg.merge_idx:
             half = x.shape[0] // 2
             x = (x[:half] + x[half:]) * 0.5
             if act_constraint is not None:
                 x = act_constraint(x)
-        if plan[i][2]:
+        if i in cfg.out_indices:
             taps.append(x)
         i += 1
 
@@ -377,8 +443,9 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                 body = lambda c, inp: (block_fn(inp[0], c, inp[1], None),
                                        None)
             x, _ = jax.lax.scan(body, x, xs)
+        x = maybe_residual(x, seg[-1])
         for s in seg:
-            if plan[s][2]:
+            if s in cfg.out_indices:
                 taps.append(x)
         i = j + 1
 

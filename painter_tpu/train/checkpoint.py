@@ -115,6 +115,28 @@ def convert_torch_state_dict(sd: Dict[str, Any],
         arr = stack(tname, (lambda a: a.T) if tf == "T" else (lambda a: a))
         if arr is not None:
             put(path, arr)
+
+    # per-index ResBottleneckBlock params (blocks.{i}.residual.*)
+    for name, vals in per_block.items():
+        if not name.startswith("residual."):
+            continue
+        sub = name[len("residual."):]
+        for i, v in vals.items():
+            if sub.endswith("conv1.weight"):
+                put(("residual_blocks", str(i), "conv1", "kernel"),
+                    v.transpose(2, 3, 1, 0))
+            elif sub.endswith("conv2.weight"):
+                put(("residual_blocks", str(i), "conv2", "kernel"),
+                    v.transpose(2, 3, 1, 0))
+            elif sub.endswith("conv3.weight"):
+                put(("residual_blocks", str(i), "conv3", "kernel"),
+                    v.transpose(2, 3, 1, 0))
+            elif sub.endswith(".weight"):
+                norm = sub.split(".")[0]
+                put(("residual_blocks", str(i), norm, "scale"), v)
+            elif sub.endswith(".bias"):
+                norm = sub.split(".")[0]
+                put(("residual_blocks", str(i), norm, "bias"), v)
     return jax.tree_util.tree_map(np.ascontiguousarray, out)
 
 
@@ -159,6 +181,13 @@ def params_to_torch_state_dict(params: Params, cfg: ModelConfig) -> Dict:
         sd[f"blocks.{i}.mlp.fc1.bias"] = b["mlp"]["fc1"]["bias"][i]
         sd[f"blocks.{i}.mlp.fc2.weight"] = b["mlp"]["fc2"]["kernel"][i].T
         sd[f"blocks.{i}.mlp.fc2.bias"] = b["mlp"]["fc2"]["bias"][i]
+    for i, rp in p.get("residual_blocks", {}).items():
+        for conv in ("conv1", "conv2", "conv3"):
+            sd[f"blocks.{i}.residual.{conv}.weight"] = \
+                rp[conv]["kernel"].transpose(3, 2, 0, 1)
+        for norm in ("norm1", "norm2", "norm3"):
+            sd[f"blocks.{i}.residual.{norm}.weight"] = rp[norm]["scale"]
+            sd[f"blocks.{i}.residual.{norm}.bias"] = rp[norm]["bias"]
     return sd
 
 

@@ -92,6 +92,30 @@ def _attn(bp, x, num_heads, use_rel_pos):
     return _linear(x, bp["proj"]["kernel"], bp["proj"]["bias"])
 
 
+def _residual_block(rp, x, eps=1e-5):
+    # x NHWC -> NCHW convs with channel-wise LN (models_painter.py:92-150)
+    h = x.permute(0, 3, 1, 2)
+    out = torch.nn.functional.conv2d(
+        h, _t(rp["conv1"]["kernel"]).permute(3, 2, 0, 1))
+
+    def ln2d(z, scale, bias):
+        u = z.mean(1, keepdim=True)
+        s2 = (z - u).pow(2).mean(1, keepdim=True)
+        z = (z - u) / torch.sqrt(s2 + eps)
+        return _t(scale)[:, None, None] * z + _t(bias)[:, None, None]
+
+    out = ln2d(out, rp["norm1"]["scale"], rp["norm1"]["bias"])
+    out = F.gelu(out)
+    out = torch.nn.functional.conv2d(
+        out, _t(rp["conv2"]["kernel"]).permute(3, 2, 0, 1), padding=1)
+    out = ln2d(out, rp["norm2"]["scale"], rp["norm2"]["bias"])
+    out = F.gelu(out)
+    out = torch.nn.functional.conv2d(
+        out, _t(rp["conv3"]["kernel"]).permute(3, 2, 0, 1))
+    out = ln2d(out, rp["norm3"]["scale"], rp["norm3"]["bias"])
+    return x + out.permute(0, 2, 3, 1)
+
+
 def _block(bp, x, cfg, window_size, merge=0):
     shortcut = x
     x = _ln(x, bp["norm1"]["scale"], bp["norm1"]["bias"], cfg.ln_eps)
@@ -165,6 +189,11 @@ def torch_forward(params, cfg, imgs, tgts, bool_masked_pos, valid,
         if merge_between_batch >= 0 and i >= merge_between_batch:
             merge = 1 if cfg.merge_idx >= i else 2
         x = _block(bp_at(i), x, cfg, ws, merge)
+        if i in getattr(cfg, "residual_block_indexes", ()):
+            import jax as _jax
+            rp = _jax.tree_util.tree_map(
+                np.asarray, params["residual_blocks"][str(i)])
+            x = _residual_block(rp, x)
         if i == cfg.merge_idx:
             x = (x[:x.shape[0] // 2] + x[x.shape[0] // 2:]) * 0.5
         if i in cfg.out_indices:

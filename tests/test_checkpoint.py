@@ -141,3 +141,16 @@ def test_export_torch_checkpoint_roundtrip(tmp_path):
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
         got = dict(jax.tree_util.tree_leaves_with_path(loaded))[path]
         np.testing.assert_array_equal(np.asarray(leaf), got)
+
+
+def test_residual_block_converter_roundtrip():
+    cfg = configs.tiny_test_config(residual_block_indexes=(1, 4),
+                                   seg_type_tokens=True)
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    sd = ckpt_lib.params_to_torch_state_dict(params, cfg)
+    assert "blocks.1.residual.conv2.weight" in sd
+    assert sd["blocks.1.residual.conv2.weight"].shape == (16, 16, 3, 3)
+    back = ckpt_lib.convert_torch_state_dict(sd, cfg)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        got = dict(jax.tree_util.tree_leaves_with_path(back))[path]
+        np.testing.assert_array_equal(np.asarray(leaf), got)

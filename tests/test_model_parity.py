@@ -178,3 +178,17 @@ def test_windowed_blocks_pallas_interpret():
     np.testing.assert_allclose(np.asarray(p_pal), np.asarray(p_xla),
                                atol=1e-4)
     np.testing.assert_allclose(float(l_pal), float(l_xla), atol=1e-5)
+
+
+def test_parity_residual_bottleneck_blocks():
+    """ResBottleneckBlock path (models_painter.py:92-150,232-233) —
+    dead config in the reference factories but part of the model API."""
+    cfg = configs.tiny_test_config(residual_block_indexes=(1, 4))
+    params, imgs, tgts, mask, valid = _mk(cfg)
+    # randomize the zero-init norm3 so the block contributes
+    import jax as j
+    rb = params["residual_blocks"]
+    for i in rb:
+        rb[i]["norm3"]["scale"] = 0.5 + 0.1 * j.random.normal(
+            j.random.PRNGKey(int(i)), rb[i]["norm3"]["scale"].shape)
+    _compare(cfg, params, imgs, tgts, mask, valid)
