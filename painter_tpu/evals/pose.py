@@ -64,14 +64,17 @@ def merge_flip_test(heatmaps: np.ndarray, flipped_heatmaps: np.ndarray,
 
 def _taylor_default(heatmap: np.ndarray, px: int, py: int
                     ) -> Tuple[float, float]:
-    """mmpose 'default' quarter-pixel shift toward the higher neighbor."""
+    """mmpose 'default' quarter-pixel shift toward the higher neighbor.
+
+    One joint gate for BOTH axes (``1 < px < W-1 and 1 < py < H-1``), as
+    in mmpose's ``_get_max_preds`` default post-process — border
+    keypoints get no shift on either axis."""
     h, w = heatmap.shape
-    dx = dy = 0.0
-    if 1 < px < w - 1 and 0 < py < h:
+    if 1 < px < w - 1 and 1 < py < h - 1:
         dx = 0.25 * np.sign(heatmap[py, px + 1] - heatmap[py, px - 1])
-    if 1 < py < h - 1 and 0 < px < w:
         dy = 0.25 * np.sign(heatmap[py + 1, px] - heatmap[py - 1, px])
-    return dx, dy
+        return float(dx), float(dy)
+    return 0.0, 0.0
 
 
 def keypoints_from_heatmaps(heatmaps: np.ndarray, centers: np.ndarray,
@@ -109,16 +112,26 @@ def keypoints_from_heatmaps(heatmaps: np.ndarray, centers: np.ndarray,
 
 
 def compute_oks(pred: np.ndarray, gt: np.ndarray, gt_vis: np.ndarray,
-                area: float, sigmas: np.ndarray = COCO_KPT_SIGMAS
-                ) -> float:
-    """OKS between one predicted and one GT pose (COCO protocol)."""
+                area: float, sigmas: np.ndarray = COCO_KPT_SIGMAS,
+                bbox: Optional[Sequence[float]] = None) -> float:
+    """OKS between one predicted and one GT pose (pycocotools computeOks).
+
+    When the GT has no visible keypoint (a crowd region), pycocotools
+    falls back to distance outside the doubled GT bbox; with no bbox
+    given either, the OKS is 0."""
     vis = gt_vis > 0
-    if not vis.any():
-        return 0.0
-    d2 = ((pred[:, :2] - gt[:, :2]) ** 2).sum(-1)
     var = (2 * sigmas) ** 2
-    e = d2 / (2 * var * (area + np.spacing(1)))
-    return float(np.exp(-e)[vis].mean())
+    denom = 2 * var * (area + np.spacing(1))
+    if vis.any():
+        d2 = ((pred[:, :2] - gt[:, :2]) ** 2).sum(-1)
+        return float(np.exp(-d2 / denom)[vis].mean())
+    if bbox is None:
+        return 0.0
+    x0, y0 = bbox[0] - bbox[2], bbox[1] - bbox[3]
+    x1, y1 = bbox[0] + 2 * bbox[2], bbox[1] + 2 * bbox[3]
+    dx = np.maximum(0, x0 - pred[:, 0]) + np.maximum(0, pred[:, 0] - x1)
+    dy = np.maximum(0, y0 - pred[:, 1]) + np.maximum(0, pred[:, 1] - y1)
+    return float(np.exp(-(dx ** 2 + dy ** 2) / denom).mean())
 
 
 def oks_nms(poses: List[Dict], thr: float = 0.9) -> List[Dict]:
@@ -144,77 +157,131 @@ def oks_nms(poses: List[Dict], thr: float = 0.9) -> List[Dict]:
     return keep
 
 
+# COCOeval keypoint area ranges (cocoeval.py Params.setKpParams)
+KPT_AREA_RNGS = {"all": (0.0, 1e10),
+                 "medium": (32.0 ** 2, 96.0 ** 2),
+                 "large": (96.0 ** 2, 1e10)}
+
+
+def _det_area(kpts: np.ndarray) -> float:
+    """COCO.loadRes keypoint-result area: tight keypoint bbox area."""
+    x, y = kpts[:, 0], kpts[:, 1]
+    return float((x.max() - x.min()) * (y.max() - y.min()))
+
+
 class KeypointAPEvaluator:
     """COCO keypoint AP (OKS .50:.05:.95), self-contained.
 
-    Accumulates per-image detections/GTs; AP via COCOeval's 101-point
-    interpolated precision, maxDets=20."""
+    Follows pycocotools COCOeval semantics: per-image greedy matching in
+    score order with crowd GTs re-matchable, ignore propagation (a
+    detection matched to an iscrowd / zero-visible GT is neither TP nor
+    FP), area-range filtering (all/medium/large), 101-point interpolated
+    precision, maxDets=20."""
 
     def __init__(self, oks_thrs: Optional[Sequence[float]] = None,
                  max_dets: int = 20):
         self.oks_thrs = (np.arange(0.5, 1.0, 0.05)
                          if oks_thrs is None else np.asarray(oks_thrs))
         self.max_dets = max_dets
-        self._dets: List[Tuple[int, float, np.ndarray]] = []
-        self._gts: Dict[int, List[Dict]] = {}
-        self._img_counter = 0
+        # per image: (dets sorted by score, gts)
+        self._images: List[Tuple[List[Dict], List[Dict]]] = []
 
     def add_image(self, detections: List[Dict], gts: List[Dict]) -> None:
-        """detections: {keypoints (17,3), score}; gts: {keypoints (17,3),
+        """detections: {keypoints (17,3), score, [area]}; gts:
 
-        area}. keypoints[:, 2] is visibility for GTs."""
-        img_id = self._img_counter
-        self._img_counter += 1
-        self._gts[img_id] = gts
-        for d in sorted(detections, key=lambda d: -d["score"])[
-                :self.max_dets]:
-            self._dets.append((img_id, float(d["score"]),
-                               np.asarray(d["keypoints"], np.float32)))
+        {keypoints (17,3), area, [iscrowd], [bbox]}. keypoints[:, 2] is
+        visibility for GTs."""
+        dets = sorted(detections, key=lambda d: -d["score"])[:self.max_dets]
+        self._images.append((
+            [{"keypoints": np.asarray(d["keypoints"], np.float32),
+              "score": float(d["score"]),
+              "area": float(d.get("area",
+                                  _det_area(np.asarray(d["keypoints"]))))}
+             for d in dets],
+            [{"keypoints": np.asarray(g["keypoints"], np.float32),
+              "area": float(g["area"]),
+              "iscrowd": int(g.get("iscrowd", 0)),
+              "bbox": g.get("bbox")} for g in gts]))
+
+    def _evaluate_img(self, dets, gts, thr: float, arng) -> Tuple[
+            List[float], List[bool], List[bool], int]:
+        """One (image, OKS thr, area range) match — cocoeval.evaluateImg.
+
+        Returns (scores, tp, ignore) per det + the non-ignored GT count."""
+        # base ignore: iscrowd or no visible keypoint; plus area range
+        gt_ig = [g["iscrowd"] == 1
+                 or not (g["keypoints"][:, 2] > 0).any()
+                 or not (arng[0] <= g["area"] <= arng[1]) for g in gts]
+        order = sorted(range(len(gts)), key=lambda i: gt_ig[i])
+        gtm = [0] * len(gts)
+        scores, tp, dt_ig = [], [], []
+        for d in dets:
+            best_oks = min(thr, 1 - 1e-10)
+            m = -1
+            for gi in order:
+                g = gts[gi]
+                if gtm[gi] and not g["iscrowd"]:
+                    continue
+                # past non-ignored matchable gts; can't improve
+                if m > -1 and not gt_ig[m] and gt_ig[gi]:
+                    break
+                oks = compute_oks(d["keypoints"], g["keypoints"],
+                                  g["keypoints"][:, 2], g["area"],
+                                  bbox=g["bbox"])
+                if oks < best_oks:
+                    continue
+                best_oks = oks
+                m = gi
+            if m > -1:
+                gtm[m] = 1
+                ig = gt_ig[m]
+            else:
+                # unmatched det outside the area range is ignored
+                ig = not (arng[0] <= d["area"] <= arng[1])
+            scores.append(d["score"])
+            tp.append(m > -1 and not gt_ig[m])
+            dt_ig.append(bool(ig))
+        return scores, tp, dt_ig, sum(not i for i in gt_ig)
+
+    def _ap(self, thr: float, arng) -> float:
+        scores, tps, igs = [], [], []
+        n_gt = 0
+        for dets, gts in self._images:
+            s, t, ig, ng = self._evaluate_img(dets, gts, thr, arng)
+            scores += s
+            tps += t
+            igs += ig
+            n_gt += ng
+        if n_gt == 0:
+            return -1.0  # COCOeval reports -1 for empty categories
+        order = np.argsort(-np.asarray(scores), kind="mergesort")
+        tp_arr = np.asarray(tps, bool)[order]
+        ig_arr = np.asarray(igs, bool)[order]
+        tp_arr = tp_arr[~ig_arr]
+        ctp = np.cumsum(tp_arr)
+        cfp = np.cumsum(~tp_arr)
+        recall = ctp / n_gt
+        precision = ctp / np.maximum(ctp + cfp, 1e-12)
+        for i in range(len(precision) - 1, 0, -1):
+            precision[i - 1] = max(precision[i - 1], precision[i])
+        rec_thrs = np.linspace(0, 1, 101)
+        idx = np.searchsorted(recall, rec_thrs, side="left")
+        prec_at = np.array([precision[i] if i < len(precision) else 0.0
+                            for i in idx])
+        return float(prec_at.mean())
 
     def evaluate(self) -> Dict[str, float]:
-        n_gt = sum(len([g for g in gts if (np.asarray(
-            g["keypoints"])[:, 2] > 0).any()])
-            for gts in self._gts.values())
-        if n_gt == 0:
-            return {"AP": 0.0, "AP50": 0.0, "AP75": 0.0}
-        dets = sorted(self._dets, key=lambda t: -t[1])
-        aps = []
-        ap_at = {}
-        for thr in self.oks_thrs:
-            matched: Dict[int, set] = {}
-            tp = np.zeros(len(dets))
-            fp = np.zeros(len(dets))
-            for di, (img_id, score, kpts) in enumerate(dets):
-                gts = self._gts.get(img_id, [])
-                best, best_g = 0.0, -1
-                for gi, g in enumerate(gts):
-                    if gi in matched.get(img_id, set()):
-                        continue
-                    gk = np.asarray(g["keypoints"], np.float32)
-                    if not (gk[:, 2] > 0).any():
-                        continue
-                    oks = compute_oks(kpts, gk, gk[:, 2], g["area"])
-                    if oks > best:
-                        best, best_g = oks, gi
-                if best >= thr and best_g >= 0:
-                    tp[di] = 1
-                    matched.setdefault(img_id, set()).add(best_g)
-                else:
-                    fp[di] = 1
-            ctp = np.cumsum(tp)
-            cfp = np.cumsum(fp)
-            recall = ctp / n_gt
-            precision = ctp / np.maximum(ctp + cfp, 1e-12)
-            # 101-point interpolation
-            for i in range(len(precision) - 1, 0, -1):
-                precision[i - 1] = max(precision[i - 1], precision[i])
-            rec_thrs = np.linspace(0, 1, 101)
-            idx = np.searchsorted(recall, rec_thrs, side="left")
-            prec_at = np.array([precision[i] if i < len(precision) else 0.0
-                                for i in idx])
-            ap = float(prec_at.mean())
-            aps.append(ap)
-            ap_at[round(float(thr), 2)] = ap
-        return {"AP": 100 * float(np.mean(aps)),
-                "AP50": 100 * ap_at.get(0.5, 0.0),
-                "AP75": 100 * ap_at.get(0.75, 0.0)}
+        out = {}
+        for name, arng in KPT_AREA_RNGS.items():
+            aps = [self._ap(float(t), arng) for t in self.oks_thrs]
+            valid = [a for a in aps if a >= 0]
+            mean_ap = float(np.mean(valid)) if valid else -0.01
+            if name == "all":
+                ap_at = {round(float(t), 2): a
+                         for t, a in zip(self.oks_thrs, aps)}
+                out["AP"] = 100 * mean_ap
+                out["AP50"] = 100 * max(ap_at.get(0.5, 0.0), 0.0)
+                out["AP75"] = 100 * max(ap_at.get(0.75, 0.0), 0.0)
+            else:
+                out[f"AP_{name}"] = 100 * mean_ap
+        return out

@@ -89,6 +89,17 @@ def build_model(args):
     return InContextModel(cfg, params)
 
 
+def _load_depth_target(path: str, res: int):
+    """NYUv2 depth png -> [0,1] RGB at res^2, matching the reference's
+    load order exactly (painter_inference_depth.py:140-145): /10000*255
+    float -> PIL 'F' -> convert RGB (clamps+casts) -> default resize."""
+    import numpy as np
+    from PIL import Image
+    tgt = np.array(Image.open(path)) / 10000.0 * 255
+    tgt = Image.fromarray(tgt).convert("RGB").resize((res, res))
+    return np.array(tgt) / 255.0
+
+
 def paint_predictions(args, model) -> list:
     """Phase 1: fixed-prompt painting of the sharded val list."""
     import numpy as np
@@ -109,7 +120,14 @@ def paint_predictions(args, model) -> list:
     # vs seggpt_engine.py:70-72)
     nearest_tgt = args.task.startswith("seggpt")
     img2 = _load_rgb(args.prompt_image, res)
-    tgt2 = _load_rgb(args.prompt_target, res, nearest=nearest_tgt)
+    if args.task == "depth":
+        # the depth prompt target is a raw NYUv2 sync_depth uint16 png
+        # mapped /10000*255 BEFORE RGB conversion
+        # (painter_inference_depth.py:140-145); plain convert('RGB')
+        # would saturate uint16 values to ~255
+        tgt2 = _load_depth_target(args.prompt_target, res)
+    else:
+        tgt2 = _load_rgb(args.prompt_target, res, nearest=nearest_tgt)
 
     outputs = []
     for path in files:

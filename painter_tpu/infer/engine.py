@@ -218,8 +218,12 @@ def inference_video(model: InContextModel, vid_path: str, num_frames: int,
             frames_cache.append(query)
             # our run_one_image returns [0,1]-scale output (the x255
             # happens later in scale_and_resize), so the reference's
-            # >128 binarization threshold (seggpt_engine.py:167) is 0.5
-            binarized = (output.mean(-1) > 0.5).astype(np.float32)
+            # >128 binarization threshold (seggpt_engine.py:167) is 0.5;
+            # the reference clips per-channel BEFORE the mean
+            # (run_one_image's clip + :167), so out-of-gamut predictions
+            # must be clipped here too or the frame cache drifts
+            binarized = (np.clip(output, 0, 1).mean(-1) > 0.5) \
+                .astype(np.float32)
             targets_cache.append(np.repeat(binarized[..., None], 3, axis=-1))
             if len(frames_cache) > num_frames:
                 frames_cache.pop(0)

@@ -192,18 +192,30 @@ def params_to_torch_state_dict(params: Params, cfg: ModelConfig) -> Dict:
 
 
 def _merge(dst: Params, src: Params, path=()):
-    """Overlay src onto dst where shapes match (strict=False semantics)."""
+    """Overlay src onto dst where the path exists and shapes match.
+
+    torch ``strict=False`` semantics: unexpected checkpoint keys are
+    ignored (reported, like shape mismatches), never inserted — so e.g.
+    loading a SegGPT .pth into a Painter config cannot add
+    type_token_cls/ins leaves and change the pytree structure that
+    optimizer/sharding trees were built from."""
     skipped = []
     for k, v in src.items():
+        cur = dst.get(k)
         if isinstance(v, dict):
-            skipped += _merge(dst.setdefault(k, {}), v, path + (k,))
+            if not isinstance(cur, dict):
+                skipped.append(("/".join(path + (k,)), "unexpected",
+                                "absent"))
+                continue
+            skipped += _merge(cur, v, path + (k,))
+        elif cur is None:
+            skipped.append(("/".join(path + (k,)), tuple(v.shape),
+                            "absent"))
+        elif tuple(cur.shape) != tuple(v.shape):
+            skipped.append(("/".join(path + (k,)),
+                            tuple(v.shape), tuple(cur.shape)))
         else:
-            cur = dst.get(k)
-            if cur is not None and tuple(cur.shape) != tuple(v.shape):
-                skipped.append(("/".join(path + (k,)),
-                                tuple(v.shape), tuple(cur.shape)))
-            else:
-                dst[k] = v
+            dst[k] = v
     return skipped
 
 

@@ -30,7 +30,7 @@ def get_args_parser():
     p.add_argument("--warmup_epochs", default=1, type=float)
     p.add_argument("--lr", default=1e-3, type=float)
     p.add_argument("--min_lr", default=0.0, type=float)
-    p.add_argument("--weight_decay", default=0.05, type=float)
+    p.add_argument("--weight_decay", default=0.1, type=float)
     p.add_argument("--layer_decay", default=0.8, type=float)
     p.add_argument("--clip_grad", default=3.0, type=float)
     p.add_argument("--drop_path", default=0.1, type=float)
@@ -133,6 +133,11 @@ def main(args):
         rank=jax.process_index(), seed=args.seed)
 
     global_batch = args.batch_size * len(devices)
+    # each process builds only its local slice of the global batch
+    # (the reference's per-rank DataLoader role); the sampler already
+    # shards indices per process, so local steps == global steps and the
+    # cosine schedule's steps_per_epoch stays consistent across hosts
+    local_batch = args.batch_size * jax.local_device_count()
     steps_per_epoch = len(dataset) // (global_batch * args.accum_iter)
     if args.max_steps_per_epoch > 0:
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
@@ -155,6 +160,15 @@ def main(args):
     batch_spec = P(None, ("dp", "fsdp")) if args.accum_iter > 1 \
         else P(("dp", "fsdp"))
     batch_sh = NamedSharding(mesh, batch_spec)
+    eval_sh = NamedSharding(mesh, P(("dp", "fsdp")))
+
+    def put_batch(batch, sharding):
+        """Host batch (local slice) -> global sharded arrays."""
+        if jax.process_count() == 1:
+            return {k: jax.device_put(v, sharding)
+                    for k, v in batch.items()}
+        return {k: jax.make_array_from_process_local_data(sharding, v)
+                for k, v in batch.items()}
 
     attn_impl = args.attn_impl or (
         "pallas" if devices[0].platform == "tpu" else "xla")
@@ -178,7 +192,7 @@ def main(args):
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()
-        it = pd.data_iterator(dataset, sampler, global_batch, epoch,
+        it = pd.data_iterator(dataset, sampler, local_batch, epoch,
                               seed=args.seed, accum_iter=args.accum_iter)
         t_epoch = time.time()
         pending = []
@@ -202,8 +216,7 @@ def main(args):
                                  total=steps_per_epoch)):
             if step_idx >= steps_per_epoch:
                 break
-            batch = {k: jax.device_put(v, batch_sh)
-                     for k, v in batch.items()}
+            batch = put_batch(batch, batch_sh)
             step_rng = jax.random.fold_in(rng, epoch * steps_per_epoch
                                           + step_idx)
             state, metrics = train_step(state, batch, step_rng)
@@ -216,17 +229,16 @@ def main(args):
 
         if val_dataset is not None:
             vlogger = MetricLogger()
-            vsampler = pd.WeightedMixtureSampler(val_dataset.weights,
-                                                 seed=args.seed)
-            vit = pd.data_iterator(val_dataset, vsampler, global_batch,
+            vsampler = pd.WeightedMixtureSampler(
+                val_dataset.weights, num_replicas=jax.process_count(),
+                rank=jax.process_index(), seed=args.seed)
+            vit = pd.data_iterator(val_dataset, vsampler, local_batch,
                                    epoch, seed=args.seed)
             for vstep, batch in enumerate(vit):
                 if args.max_steps_per_epoch > 0 and \
                         vstep >= args.max_steps_per_epoch:
                     break
-                batch = {k: jax.device_put(
-                    v, NamedSharding(mesh, P(("dp", "fsdp"))))
-                    for k, v in batch.items()}
+                batch = put_batch(batch, eval_sh)
                 m = eval_step(state["params"], batch)
                 vlogger.update(loss=float(m["loss"]))
             stats.update({f"val_{k}": v for k, v in

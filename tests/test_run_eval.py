@@ -73,9 +73,14 @@ def test_eval_driver_depth(synth, tmp_path):
         Image.fromarray(
             (rng.rand(480, 640) * 9000).astype(np.int32), mode="I").save(
             gtd / f"im{i}.png")
+    # the depth prompt target is a raw sync_depth png (uint16-like),
+    # loaded /10000*255 before RGB conversion
+    Image.fromarray((rng.rand(480, 640) * 9000).astype(np.int32),
+                    mode="I").save(synth / "ptarget_depth.png")
     args = _args(synth, tmp_path / "out3", "depth")
     args.image_dir = str(imd)
     args.gt_dir = str(gtd)
+    args.prompt_target = str(synth / "ptarget_depth.png")
     model = build_model(args)
     outputs = paint_predictions(args, model)
     pred = np.asarray(Image.open(outputs[0][1]))
