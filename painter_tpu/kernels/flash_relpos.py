@@ -11,23 +11,42 @@ Design for this model's regime (L = 1568..2450 tokens, head_dim 64):
 - K and V for one (batch, head) fit comfortably in VMEM (~200 KB each in
   bf16), so instead of an online-softmax flash loop we keep whole K/V
   rows resident and tile only the query axis. Logits never touch HBM.
-- The decomposed bias enters as the two *small* per-axis terms
-  ``rel_h = q . Rh`` (L, Kh) and ``rel_w = q . Rw`` (L, Kw), computed by
-  XLA einsums outside (~60x smaller than the logits). In-kernel they are
-  expanded to the (block_q, L) bias with two one-hot matmuls on the
-  otherwise-idle MXU — keeping every operand 128-lane aligned.
-- Softmax in fp32; q/k/v and the p@V matmul in bf16 with fp32 accumulate.
+- head_dim 64 fills only half of the MXU's 128-lane contraction, so one
+  of the two per-axis bias terms is **folded into the QK contraction**:
+  ``qf = [q*scale, rel_axis_term]`` against ``kf = [k, onehot_axis]``
+  makes the main matmul a single 120-of-128-lane pass (94% lane
+  utilization) that computes logits *and* that bias in one go. The axis
+  with the larger table that still fits 128 lanes is folded (rel_h for
+  the 56x28 train grid, rel_w for the 70x35 COCO eval grid); the other
+  axis is expanded by a one-hot matmul on the same tiles (or a VPU
+  lane-tile with ``rw_tile=True``).
+- The kernel is VPU-bound, not MXU-bound, so every (block_q, L) vector
+  pass matters. Three flash-style restructurings remove most of them:
+  (a) V carries an appended ones-column, so the PV matmul produces the
+  softmax denominator in its padded 65->128 output lanes — the fp32
+  row-sum pass is free MXU work; (b) the forward saves the row
+  logsumexp, so the backward recomputes probabilities with a single
+  ``exp2`` pass (no max, no sum); (c) ``delta = rowsum(do*o)`` is
+  computed outside the kernel on (L, head_dim) arrays instead of the
+  (block_q, L) ``dp*p`` reduction.
+- Softmax in fp32 with ``exp2``: all logit terms are pre-scaled by
+  log2(e), so the VPU evaluates ``exp2(s - max)`` directly (exp is
+  exp2(x*log2e) in hardware; pre-scaling removes the extra multiply).
+- Each query block is processed as two interleaved sub-tiles so the
+  scheduler can overlap one sub-tile's softmax (VPU) with the other's
+  QK / PV matmuls (MXU).
 - The query grid uses ceil-division with row masking, so any eval
   resolution works.
-- Full custom VJP: the backward kernel recomputes the row softmax in
-  VMEM (flash-style, no saved logits) and accumulates dK/dV across query
-  tiles in a revisited fp32 output block; bias-term gradients flow back
-  through the XLA rel-term einsums (and the rel-table resolution
-  interpolation) via ``jax.vjp``.
+- Full custom VJP; bias-term gradients flow back through the XLA
+  rel-term einsums (and the rel-table resolution interpolation) via
+  ``jax.vjp``. The folded layout pays off again in the backward:
+  ``ds @ kf`` yields dq and the folded-axis bias gradient in one
+  94%-lane matmul.
 """
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -39,10 +58,32 @@ from jax.experimental.pallas import tpu as pltpu
 from painter_tpu.ops.pos_embed import get_rel_pos
 
 DEFAULT_BLOCK_Q = 392
+LOG2E = math.log2(math.e)
+MXU_LANES = 128
+
+
+def _subtiles(block_q: int, num_sub: int):
+    """Split block_q into ``num_sub`` sublane-aligned (offset, size) tiles."""
+    if num_sub <= 1 or block_q <= 8:
+        return [(0, block_q)]
+    base = block_q // num_sub
+    sizes = [base + (block_q - base * num_sub) if i == 0 else base
+             for i in range(num_sub)]
+    sizes = [((s + 7) // 8) * 8 for s in sizes]
+    sizes[-1] = block_q - sum(sizes[:-1])
+    if sizes[-1] <= 0:
+        return [(0, block_q)]
+    offs, cur = [], 0
+    for s in sizes:
+        offs.append((cur, s))
+        cur += s
+    return offs
 
 
 @functools.lru_cache(maxsize=None)
 def _expanders_np(k_h: int, k_w: int):
+    """One-hot expanders: eh (k_h, L) selects rows by kh = col // k_w,
+    ew (k_w, L) by kw = col % k_w."""
     length = k_h * k_w
     cols = np.arange(length)
     eh = (cols // k_w == np.arange(k_h)[:, None])
@@ -58,151 +99,196 @@ def _expanders(k_h: int, k_w: int, dtype_name: str):
     return jnp.asarray(eh, dt), jnp.asarray(ew, dt)
 
 
+def _fold_axis(hd: int, k_size: Tuple[int, int]) -> str:
+    """Which bias axis to fold into the QK contraction: the larger table
+    that keeps the contraction within one 128-lane MXU tile."""
+    k_h, k_w = k_size
+    if hd + max(k_h, k_w) <= MXU_LANES:
+        return "h" if k_h >= k_w else "w"
+    if hd + min(k_h, k_w) <= MXU_LANES:
+        return "h" if k_h < k_w else "w"
+    raise ValueError(
+        f"head_dim {hd} + min rel table {min(k_h, k_w)} exceeds the "
+        f"{MXU_LANES}-lane MXU tile; use the XLA attention path")
+
+
 def _dot(a, b, trans_a=False, trans_b=False):
     dims = (((0 if trans_a else 1,), (1 if trans_b else 0,)), ((), ()))
     return jax.lax.dot_general(a, b, dims,
                                preferred_element_type=jnp.float32)
 
 
-def _exp_rows(q, k, rel_h, rel_w, eh, ew):
-    """(block_q, L) max-subtracted exp logits + row sums (fp32)."""
-    s = _dot(q, k, trans_b=True)
-    s += _dot(rel_h, eh)
-    s += _dot(rel_w, ew)
-    s -= jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    return e, jnp.sum(e, axis=-1, keepdims=True)
+def _logits(qf, kf, rx, ex, reps, rw_tile):
+    """(sub_q, L) fp32 logits, pre-scaled by log2e (exp2 domain)."""
+    s = _dot(qf, kf, trans_b=True)
+    if rw_tile:
+        # VPU lane-tile of the k_w-period bias (only valid when the
+        # expanded axis is 'w': col bias = rx[:, col % k_w])
+        s += jnp.tile(rx, (1, reps)).astype(jnp.float32)
+    else:
+        s += _dot(rx, ex)
+    return s
 
 
-def _softmax_rows(q, k, rel_h, rel_w, eh, ew):
-    """(block_q, L) row-softmax with in-kernel bias expansion (fp32)."""
-    e, denom = _exp_rows(q, k, rel_h, rel_w, eh, ew)
-    return e * pl.reciprocal(denom, approx=False)
-
-
-def _row_mask(i, block_q, lq):
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) \
-        + i * block_q
+def _row_mask(i, block_q, sz, lq, off=0):
+    """Valid-row mask for the (off, sz) sub-tile of query block i."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sz, 1), 0) \
+        + i * block_q + off
     return rows < lq
 
 
-def _attn_fwd_kernel(q_ref, k_ref, v_ref, rel_h_ref, rel_w_ref, eh_ref,
-                     ew_ref, o_ref):
-    # normalize after the PV matmul: one (block_q, hd) scale instead of a
-    # (block_q, L) probability materialization pass
-    e, denom = _exp_rows(q_ref[0], k_ref[0], rel_h_ref[0], rel_w_ref[0],
-                         eh_ref[:], ew_ref[:])
-    o = _dot(e.astype(v_ref.dtype), v_ref[0])
-    o_ref[0] = (o * pl.reciprocal(denom, approx=False)).astype(o_ref.dtype)
+def _make_fwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int):
+    def _attn_fwd_kernel(qf_ref, kf_ref, vf_ref, rx_ref, ex_ref, o_ref,
+                         lse_ref):
+        kf = kf_ref[0]
+        vf = vf_ref[0]
+        block_q = qf_ref.shape[1]
+        tiles = _subtiles(block_q, num_sub)
+        # two independent chains: sub-tile j's softmax (VPU) overlaps
+        # sub-tile j+1's QK matmul (MXU)
+        ss = [_logits(qf_ref[0, pl.ds(off, sz)], kf,
+                      rx_ref[0, pl.ds(off, sz)], ex_ref[:], reps, rw_tile)
+              for off, sz in tiles]
+        for (off, sz), s in zip(tiles, ss):
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp2(s - m).astype(vf.dtype)
+            # vf's appended ones-column makes ov[:, hd] the row sum of e:
+            # the softmax denominator is free MXU work in the padded
+            # output lanes
+            ov = _dot(e, vf)
+            denom = ov[:, hd:hd + 1]
+            o_ref[0, pl.ds(off, sz)] = (
+                ov[:, :hd] * pl.reciprocal(denom, approx=False)).astype(
+                o_ref.dtype)
+            lse_ref[0, pl.ds(off, sz)] = m + jnp.log2(denom)
+    return _attn_fwd_kernel
 
 
-def _attn_bwd_kernel(lq_ref, q_ref, k_ref, v_ref, rel_h_ref, rel_w_ref,
-                     eh_ref, ew_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, drh_ref, drw_ref):
-    i = pl.program_id(1)
-    block_q = q_ref.shape[1]
-    # zero the ceil-div padding rows up front: OOB block reads are
-    # undefined and even one NaN would survive 0*NaN in the dK/dV sums
-    mask = _row_mask(i, block_q, lq_ref[0])
-    q = jnp.where(mask, q_ref[0], 0.0).astype(q_ref.dtype)
-    do = jnp.where(mask, do_ref[0], 0.0).astype(do_ref.dtype)
-    k = k_ref[0]
-    v = v_ref[0]
-    p = _softmax_rows(q, k, rel_h_ref[0], rel_w_ref[0], eh_ref[:],
-                      ew_ref[:])
-    p = jnp.where(mask, p, 0.0)
-    dp = _dot(do, v, trans_b=True)                      # (bq, L) fp32
-    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - delta)                               # (bq, L) fp32
-    ds_b = ds.astype(q.dtype)
-    p_b = p.astype(q.dtype)
+def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int):
+    def _attn_bwd_kernel(lq_ref, qf_ref, kf_ref, v_ref, rx_ref, ex_ref,
+                         do_ref, lse_ref, delta_ref,
+                         dqf_ref, dk_ref, dv_ref, drx_ref):
+        i = pl.program_id(1)
+        block_q = qf_ref.shape[1]
+        kf = kf_ref[0]
+        v = v_ref[0]
 
-    dq_ref[0] = _dot(ds_b, k).astype(dq_ref.dtype)
-    drh_ref[0] = _dot(ds_b, eh_ref[:], trans_b=True).astype(drh_ref.dtype)
-    drw_ref[0] = _dot(ds_b, ew_ref[:], trans_b=True).astype(drw_ref.dtype)
+        @pl.when(i == 0)
+        def _():
+            dk_ref[0] = jnp.zeros_like(dk_ref[0])
+            dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    @pl.when(i == 0)
-    def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        for off, sz in _subtiles(block_q, num_sub):
+            # zero the ceil-div padding rows up front: OOB block reads
+            # are undefined and even one NaN would survive 0*NaN in the
+            # dK/dV sums
+            mask = _row_mask(i, block_q, sz, lq_ref[0], off)
+            qf = jnp.where(mask, qf_ref[0, pl.ds(off, sz)], 0.0).astype(
+                qf_ref.dtype)
+            do = jnp.where(mask, do_ref[0, pl.ds(off, sz)], 0.0).astype(
+                do_ref.dtype)
+            s = _logits(qf, kf, rx_ref[0, pl.ds(off, sz)], ex_ref[:],
+                        reps, rw_tile)
+            # saved logsumexp -> one exp2 pass, no max/sum recompute;
+            # the lse of a padding row could be garbage (even NaN), so
+            # re-mask after exp2
+            p = jnp.exp2(s - lse_ref[0, pl.ds(off, sz)])
+            p = jnp.where(mask, p, 0.0)
+            dp = _dot(do, v, trans_b=True)                  # (sq, L) fp32
+            # delta = rowsum(do*o) precomputed outside on (L, hd) arrays;
+            # padding rows' OOB delta must be zeroed (0*NaN survives)
+            delta = jnp.where(mask, delta_ref[0, pl.ds(off, sz)], 0.0)
+            ds = p * (dp - delta)                           # (sq, L) fp32
+            ds_b = ds.astype(qf.dtype)
+            p_b = p.astype(qf.dtype)
 
-    dk_ref[0] += _dot(ds_b, q, trans_a=True)            # (L, hd) fp32
-    dv_ref[0] += _dot(p_b, do, trans_a=True)
+            # one folded matmul: [:, :hd] = ds @ k = dq/scale,
+            # [:, hd:] = ds @ onehot^T = d(folded bias term)
+            dqf_ref[0, pl.ds(off, sz)] = _dot(ds_b, kf).astype(
+                dqf_ref.dtype)
+            drx_ref[0, pl.ds(off, sz)] = _dot(
+                ds_b, ex_ref[:], trans_b=True).astype(drx_ref.dtype)
+            # dk = ds^T @ (q*scale*log2e); log2e is divided out in XLA
+            dk_ref[0] += _dot(ds_b, qf[:, :hd], trans_a=True)
+            dv_ref[0] += _dot(p_b, do, trans_a=True)
+    return _attn_bwd_kernel
 
 
-def _fwd_impl(qs, ks, vs, rel_h, rel_w, k_size, block_q, interpret):
-    bn, lq, hd = qs.shape
-    lk = ks.shape[1]
-    k_h, k_w = k_size
-    eh, ew = _expanders(k_h, k_w, str(qs.dtype))
+def _fwd_impl(qf, kf, vf, rx, ex, hd, reps, rw_tile, block_q, num_sub,
+              interpret):
+    bn, lq, hdf = qf.shape
+    lk = kf.shape[1]
+    k_x = ex.shape[0]
     grid = (bn, pl.cdiv(lq, block_q))
     kw = {} if not interpret else {"interpret": True}
     return pl.pallas_call(
-        _attn_fwd_kernel,
+        _make_fwd_kernel(hd, reps, rw_tile, num_sub),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, lk, hd), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, lk, hd), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, block_q, k_h), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, k_w), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((k_h, lk), lambda b, i: (0, 0)),
-            pl.BlockSpec((k_w, lk), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, block_q, hdf), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, lk, hdf), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, lk, vf.shape[2]), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, k_x), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((k_x, lk), lambda b, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bn, lq, hd), qs.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bn, lq, hd), qf.dtype),
+            jax.ShapeDtypeStruct((bn, lq, 1), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bn * lq * lk * (2 * hd + k_h + k_w),
-            bytes_accessed=(qs.size + ks.size + vs.size + rel_h.size
-                            + rel_w.size) * qs.dtype.itemsize,
+            flops=2 * bn * lq * lk * (hdf + k_x + hd),
+            bytes_accessed=(qf.size + kf.size + vf.size + rx.size
+                            + ex.size) * qf.dtype.itemsize,
             transcendentals=bn * lq * lk,
         ),
         **kw,
-    )(qs, ks, vs, rel_h, rel_w, eh, ew)
+    )(qf, kf, vf, rx, ex)
 
 
-def _bwd_impl(qs, ks, vs, rel_h, rel_w, g, k_size, block_q, interpret):
-    bn, lq, hd = qs.shape
-    lk = ks.shape[1]
-    k_h, k_w = k_size
-    eh, ew = _expanders(k_h, k_w, str(qs.dtype))
+def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
+              block_q, num_sub, interpret):
+    bn, lq, hdf = qf.shape
+    lk = kf.shape[1]
+    k_x = ex.shape[0]
     grid = (bn, pl.cdiv(lq, block_q))
     lq_arr = jnp.full((1,), lq, jnp.int32)
     kw = {} if not interpret else {"interpret": True}
     out_shapes = (
-        jax.ShapeDtypeStruct((bn, lq, hd), jnp.float32),    # dq (scaled)
-        jax.ShapeDtypeStruct((bn, lk, hd), jnp.float32),    # dk
+        jax.ShapeDtypeStruct((bn, lq, hdf), jnp.float32),   # dqf
+        jax.ShapeDtypeStruct((bn, lk, hd), jnp.float32),    # dk (scaled)
         jax.ShapeDtypeStruct((bn, lk, hd), jnp.float32),    # dv
-        jax.ShapeDtypeStruct((bn, lq, k_h), jnp.float32),   # drel_h
-        jax.ShapeDtypeStruct((bn, lq, k_w), jnp.float32),   # drel_w
+        jax.ShapeDtypeStruct((bn, lq, k_x), jnp.float32),   # d(expanded)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, hdf), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, lk, hdf), lambda b, i, *_: (b, 0, 0)),
             pl.BlockSpec((1, lk, hd), lambda b, i, *_: (b, 0, 0)),
-            pl.BlockSpec((1, lk, hd), lambda b, i, *_: (b, 0, 0)),
-            pl.BlockSpec((1, block_q, k_h), lambda b, i, *_: (b, i, 0)),
-            pl.BlockSpec((1, block_q, k_w), lambda b, i, *_: (b, i, 0)),
-            pl.BlockSpec((k_h, lk), lambda b, i, *_: (0, 0)),
-            pl.BlockSpec((k_w, lk), lambda b, i, *_: (0, 0)),
+            pl.BlockSpec((1, block_q, k_x), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((k_x, lk), lambda b, i, *_: (0, 0)),
             pl.BlockSpec((1, block_q, hd), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, *_: (b, i, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_q, hd), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, hdf), lambda b, i, *_: (b, i, 0)),
             pl.BlockSpec((1, lk, hd), lambda b, i, *_: (b, 0, 0)),
             pl.BlockSpec((1, lk, hd), lambda b, i, *_: (b, 0, 0)),
-            pl.BlockSpec((1, block_q, k_h), lambda b, i, *_: (b, i, 0)),
-            pl.BlockSpec((1, block_q, k_w), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, k_x), lambda b, i, *_: (b, i, 0)),
         ),
     )
     return pl.pallas_call(
-        _attn_bwd_kernel,
+        _make_bwd_kernel(hd, reps, rw_tile, num_sub),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         **kw,
-    )(lq_arr, qs, ks, vs, rel_h, rel_w, eh, ew, g)
+    )(lq_arr, qf, kf, vs, rx, ex, g, lse, delta)
 
 
 def _use_interpret() -> bool:
@@ -227,39 +313,80 @@ def _rel_terms(q, rph, rpw, q_size, k_size):
     return rel_h, rel_w
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash_core(q, k, v, rph, rpw, q_size, k_size, scale, block_q):
-    out, _ = _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q)
+def _pack_inputs(q, k, rel_h, rel_w, k_size, scale, rw_tile):
+    """Build the folded operands (all logit terms pre-scaled by log2e).
+
+    Returns (qf, kf, rx, ex, fold, reps): qf = [q*scale*log2e,
+    folded_term*log2e] (bn, lq, hd+k_fold), kf = [k, onehot_fold^T]
+    (bn, lk, hd+k_fold), rx = expanded term*log2e, ex its one-hot.
+    """
+    b, nh, lq, hd = q.shape
+    lk = k.shape[2]
+    k_h, k_w = k_size
+    fold = _fold_axis(hd, k_size)
+    if rw_tile and fold != "h":
+        raise ValueError("rw_tile expansion requires folding the h axis")
+    eh, ew = _expanders(k_h, k_w, str(q.dtype))
+    beta = jnp.asarray(LOG2E, q.dtype)
+    qs = (q * (jnp.asarray(scale, q.dtype) * beta)).reshape(b * nh, lq, hd)
+    ks = k.reshape(b * nh, lk, hd)
+    if fold == "h":
+        folded, rx, ef, ex, reps = rel_h, rel_w, eh, ew, k_h
+    else:
+        folded, rx, ef, ex, reps = rel_w, rel_h, ew, eh, k_w
+    qf = jnp.concatenate([qs, folded * beta], axis=-1)
+    kf = jnp.concatenate(
+        [ks, jnp.broadcast_to(ef.T, (b * nh, lk, ef.shape[0]))], axis=-1)
+    return qf, kf, rx * beta, ex, fold, reps
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash_core(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
+                rw_tile, num_sub):
+    out, _ = _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
+                        rw_tile, num_sub)
     return out
 
 
-def _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q):
+def _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q, rw_tile,
+               num_sub):
     b, nh, lq, hd = q.shape
     lk = k.shape[2]
     rel_h, rel_w = _rel_terms(q, rph, rpw, q_size, k_size)
-    qs = (q * jnp.asarray(scale, q.dtype)).reshape(b * nh, lq, hd)
-    out = _fwd_impl(qs, k.reshape(b * nh, lk, hd),
-                    v.reshape(b * nh, lk, hd), rel_h, rel_w, k_size,
-                    block_q, _use_interpret())
-    return out.reshape(b, nh, lq, hd), (q, k, v, rph, rpw)
+    qf, kf, rx, ex, _, reps = _pack_inputs(q, k, rel_h, rel_w, k_size,
+                                           scale, rw_tile)
+    vf = jnp.concatenate(
+        [v.reshape(b * nh, lk, hd),
+         jnp.ones((b * nh, lk, 1), v.dtype)], axis=-1)
+    out, lse = _fwd_impl(qf, kf, vf, rx, ex, hd, reps, rw_tile, block_q,
+                         num_sub, _use_interpret())
+    return out.reshape(b, nh, lq, hd), (q, k, v, rph, rpw, out, lse)
 
 
-def _flash_bwd(q_size, k_size, scale, block_q, res, g):
-    q, k, v, rph, rpw = res
+def _flash_bwd(q_size, k_size, scale, block_q, rw_tile, num_sub, res, g):
+    q, k, v, rph, rpw, out, lse = res
     b, nh, lq, hd = q.shape
     lk = k.shape[2]
     rel_fn = lambda q_, rph_, rpw_: _rel_terms(q_, rph_, rpw_, q_size,
                                                k_size)
     (rel_h, rel_w), rel_vjp = jax.vjp(rel_fn, q, rph, rpw)
-    qs = (q * jnp.asarray(scale, q.dtype)).reshape(b * nh, lq, hd)
-    dqs, dk, dv, drh, drw = _bwd_impl(
-        qs, k.reshape(b * nh, lk, hd), v.reshape(b * nh, lk, hd),
-        rel_h, rel_w, g.reshape(b * nh, lq, hd).astype(q.dtype),
-        k_size, block_q, _use_interpret())
+    qf, kf, rx, ex, fold, reps = _pack_inputs(q, k, rel_h, rel_w, k_size,
+                                              scale, rw_tile)
+    gs = g.reshape(b * nh, lq, hd).astype(q.dtype)
+    # delta = rowsum(do * o) == rowsum(dp * p): tiny (L, hd) arrays
+    delta = jnp.sum(gs.astype(jnp.float32)
+                    * out.astype(jnp.float32), axis=-1, keepdims=True)
+    dqf, dk, dv, drx = _bwd_impl(
+        qf, kf, v.reshape(b * nh, lk, hd), rx, ex, gs, lse, delta, hd,
+        reps, rw_tile, block_q, num_sub, _use_interpret())
+    dqs, drf = dqf[..., :hd], dqf[..., hd:]
+    drh, drw = (drf, drx) if fold == "h" else (drx, drf)
     dq_rel, drph, drpw = rel_vjp((drh.astype(rel_h.dtype),
                                   drw.astype(rel_w.dtype)))
     dq = dqs.reshape(b, nh, lq, hd).astype(q.dtype) \
         * jnp.asarray(scale, q.dtype) + dq_rel
+    # the kernel's dk came from the log2e-pre-scaled qf
+    dk = dk * jnp.asarray(1.0 / LOG2E, dk.dtype)
     return (dq, dk.reshape(b, nh, lk, hd).astype(k.dtype),
             dv.reshape(b, nh, lk, hd).astype(v.dtype),
             drph.astype(rph.dtype), drpw.astype(rpw.dtype))
@@ -272,14 +399,21 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
                            q_size: Tuple[int, int], k_size: Tuple[int, int],
                            scale: float,
                            block_q: int = DEFAULT_BLOCK_Q,
+                           rw_tile: bool = False,
+                           num_sub: int = 2,
                            interpret_fallback: bool = True):
     """Fused attention with decomposed rel-pos bias (differentiable).
 
     q, k, v: (B, nh, L, hd). rel_pos_h/w: (Lh, hd)/(Lw, hd) tables.
     Returns (B, nh, L, hd). Numerics match the XLA path in
-    :func:`painter_tpu.ops.attention.attention` (softmax fp32). On CPU
-    the same kernels run in the Pallas interpreter.
+    :func:`painter_tpu.ops.attention.attention` (softmax fp32; exp2 of
+    log2e-scaled logits == exp). On CPU the same kernels run in the
+    Pallas interpreter. ``rw_tile=True`` expands the non-folded rel_w
+    term with a VPU lane-tile instead of a one-hot matmul (requires the
+    h axis folded); ``num_sub`` interleaved query sub-tiles per block
+    overlap VPU softmax with MXU matmuls.
     """
     del interpret_fallback  # auto-detected per backend
     return _flash_core(q, k, v, rel_pos_h, rel_pos_w, tuple(q_size),
-                       tuple(k_size), float(scale), int(block_q))
+                       tuple(k_size), float(scale), int(block_q),
+                       bool(rw_tile), int(num_sub))

@@ -52,8 +52,45 @@ def test_flash_relpos_resolution_interpolation():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("block_q", [8, 10])  # divisible + ragged tail
-def test_flash_relpos_gradients_match_xla(block_q):
+def test_flash_relpos_rw_tile_matches_xla():
+    """The VPU lane-tile expansion of rel_w == the one-hot matmul path."""
+    b, nh, qh, qw, hd = 1, 2, 8, 4, 16
+    L = qh * qw
+    q = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    k = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    v = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    rph = jnp.asarray(RNG.randn(2 * qh - 1, hd), jnp.float32)
+    rpw = jnp.asarray(RNG.randn(2 * qw - 1, hd), jnp.float32)
+    scale = hd ** -0.5
+    ref = _xla_ref(q, k, v, rph, rpw, (qh, qw), scale)
+    got = flash_attention_relpos(q, k, v, rph, rpw, (qh, qw), (qh, qw),
+                                 scale, block_q=8, rw_tile=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_flash_relpos_folds_w_axis_when_h_overflows():
+    """hd + k_h > 128 lanes but hd + k_w fits -> the w term is folded
+    (the 70x35 COCO-eval regime for head_dim 64)."""
+    from painter_tpu.kernels.flash_relpos import _fold_axis
+    assert _fold_axis(64, (56, 28)) == "h"
+    assert _fold_axis(64, (70, 35)) == "w"
+    assert _fold_axis(120, (16, 8)) == "w"
+
+    b, nh, qh, qw, hd = 1, 1, 16, 8, 120
+    L = qh * qw
+    q = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    rph = jnp.asarray(RNG.randn(2 * qh - 1, hd), jnp.float32)
+    rpw = jnp.asarray(RNG.randn(2 * qw - 1, hd), jnp.float32)
+    scale = hd ** -0.5
+    ref = _xla_ref(q, q, q, rph, rpw, (qh, qw), scale)
+    got = flash_attention_relpos(q, q, q, rph, rpw, (qh, qw), (qh, qw),
+                                 scale, block_q=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("block_q,rw_tile", [(8, False), (10, False),
+                                             (8, True)])
+def test_flash_relpos_gradients_match_xla(block_q, rw_tile):
     b, nh, qh, qw, hd = 2, 2, 6, 4, 8
     L = qh * qw
     q = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
@@ -69,7 +106,8 @@ def test_flash_relpos_gradients_match_xla(block_q):
 
     def loss_pal(*a):
         return jnp.sum(flash_attention_relpos(
-            *a, (qh, qw), (qh, qw), scale, block_q=block_q) * gref)
+            *a, (qh, qw), (qh, qw), scale, block_q=block_q,
+            rw_tile=rw_tile) * gref)
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rph, rpw)
     g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(q, k, v, rph, rpw)
