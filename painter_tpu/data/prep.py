@@ -270,6 +270,82 @@ def make_pose_eval_crops(image_dir: str, det_json: str, coco_images_json: str,
 
 
 # ---------------------------------------------------------------------------
+# raw-dataset extraction utilities
+# ---------------------------------------------------------------------------
+
+def extract_nyu_depth_mat(h5_path: str, split_mat: str, out_dir: str,
+                          max_images: int = -1) -> int:
+    """NYUv2 labeled .mat -> per-scene rgb_XXXXX.jpg + sync_depth_XXXXX.png.
+
+    Mirrors ``data/depth/extract_official_train_test_set_from_mat.py``:
+    train/test split from trainNdxs/testNdxs (1-based), rawDepths x1000
+    -> uint16 mm PNG, RGB with the 7px black boundary zeroed. Returns
+    the number of images written."""
+    import h5py
+    from scipy.io import loadmat
+    split = loadmat(split_mat)
+    test_idx = {int(x) for x in split["testNdxs"].ravel()}
+    train_idx = {int(x) for x in split["trainNdxs"].ravel()}
+    with h5py.File(h5_path, "r") as h5:
+        depths = h5["rawDepths"]
+        images = h5["images"]
+        scenes = ["".join(chr(c[0]) for c in h5[ref])
+                  for ref in h5["sceneTypes"][0]]
+        n = len(images) if max_images <= 0 else min(max_images, len(images))
+        for i in range(n):
+            part = "train" if (i + 1) in train_idx else "test"
+            assert part == "train" or (i + 1) in test_idx, i
+            folder = os.path.join(out_dir, part, scenes[i])
+            os.makedirs(folder, exist_ok=True)
+            depth_mm = (np.asarray(depths[i]).T * 1000.0).astype(np.uint16)
+            img = np.asarray(images[i]).T  # (3, W, H) -> (H, W, 3)
+            if img.ndim == 3 and img.shape[-1] != 3:
+                img = img.transpose(1, 2, 0)
+            bordered = np.zeros((480, 640, 3), np.uint8)
+            bordered[7:474, 7:632] = img[7:474, 7:632]
+            Image.fromarray(depth_mm).save(
+                os.path.join(folder, f"sync_depth_{i:05d}.png"))
+            Image.fromarray(bordered).save(
+                os.path.join(folder, f"rgb_{i:05d}.jpg"))
+    return n
+
+
+def gen_sidd_patches(src_dir: str, out_dir: str, patch_size: int = 256,
+                     num_patches: int = 300, seed: int = 0) -> int:
+    """SIDD_Medium_Srgb full-res pairs -> random training patches.
+
+    Mirrors ``data/sidd/generate_patches_SIDD.py``: per *GT/*NOISY pair
+    under ``src_dir/*/``, cut ``num_patches`` aligned random crops into
+    out_dir/{input,groundtruth}/{i}_{j}.png. Returns the patch count."""
+    noisy = sorted(glob.glob(os.path.join(src_dir, "*", "*NOISY*.PNG"))
+                   + glob.glob(os.path.join(src_dir, "*", "*NOISY*.png")))
+    clean = sorted(glob.glob(os.path.join(src_dir, "*", "*GT*.PNG"))
+                   + glob.glob(os.path.join(src_dir, "*", "*GT*.png")))
+    assert len(noisy) == len(clean), (len(noisy), len(clean))
+    in_dir = os.path.join(out_dir, "input")
+    gt_dir = os.path.join(out_dir, "groundtruth")
+    os.makedirs(in_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+    count = 0
+    for i, (np_, cp) in enumerate(zip(noisy, clean)):
+        rng = np.random.default_rng((seed, i))
+        noisy_img = np.asarray(Image.open(np_).convert("RGB"))
+        clean_img = np.asarray(Image.open(cp).convert("RGB"))
+        h, w = noisy_img.shape[:2]
+        for j in range(num_patches):
+            rr = int(rng.integers(0, max(h - patch_size, 0) + 1))
+            cc = int(rng.integers(0, max(w - patch_size, 0) + 1))
+            Image.fromarray(
+                noisy_img[rr:rr + patch_size, cc:cc + patch_size]).save(
+                os.path.join(in_dir, f"{i + 1}_{j + 1}.png"))
+            Image.fromarray(
+                clean_img[rr:rr + patch_size, cc:cc + patch_size]).save(
+                os.path.join(gt_dir, f"{i + 1}_{j + 1}.png"))
+            count += 1
+    return count
+
+
+# ---------------------------------------------------------------------------
 # pair-list JSONs + toy dataset
 # ---------------------------------------------------------------------------
 
@@ -348,6 +424,48 @@ def main():
     s.add_argument("--root", required=True)
     s.add_argument("--n", type=int, default=10)
 
+    s = sub.add_parser("gen-instance-trainset",
+                       help="30-aug-copy painted CA-instance training set "
+                            "from COCO panoptic annotations (DATA.md:174)")
+    s.add_argument("--panoptic_json", required=True)
+    s.add_argument("--panoptic_root", required=True)
+    s.add_argument("--image_root", required=True)
+    s.add_argument("--out_dir", required=True)
+    s.add_argument("--num_aug", type=int, default=30)
+    s.add_argument("--out_size", type=int, default=1024)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--max_images", type=int, default=-1)
+    s.add_argument("--val", action="store_true")
+
+    s = sub.add_parser("gen-pose-trainset",
+                       help="20-copy painted pose training set from COCO "
+                            "keypoint annotations (DATA.md:210)")
+    s.add_argument("--keypoints_json", required=True)
+    s.add_argument("--image_root", required=True)
+    s.add_argument("--out_dir", required=True)
+    s.add_argument("--num_aug", type=int, default=20)
+    s.add_argument("--flip_prob", type=float, default=0.5)
+    s.add_argument("--rot_factor", type=float, default=40.0)
+    s.add_argument("--scale_factor", type=float, default=0.5)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--max_anns", type=int, default=-1)
+    s.add_argument("--val", action="store_true")
+
+    s = sub.add_parser("extract-nyu-mat",
+                       help="NYUv2 labeled .mat -> rgb/sync_depth files")
+    s.add_argument("--h5_path", required=True)
+    s.add_argument("--split_mat", required=True)
+    s.add_argument("--out_dir", required=True)
+    s.add_argument("--max_images", type=int, default=-1)
+
+    s = sub.add_parser("gen-sidd-patches",
+                       help="SIDD_Medium_Srgb -> 256^2 training patches")
+    s.add_argument("--src_dir", required=True)
+    s.add_argument("--out_dir", required=True)
+    s.add_argument("--patch_size", type=int, default=256)
+    s.add_argument("--num_patches", type=int, default=300)
+    s.add_argument("--seed", type=int, default=0)
+
     args = p.parse_args()
     if args.cmd == "paint-semantic":
         n = len(paint_semantic_dir(args.label_dir, args.out_dir, args.task))
@@ -360,6 +478,29 @@ def main():
         outs = make_toy_dataset(args.json_paths, args.out_dir, args.root,
                                 args.n)
         print(f"toy dataset at {args.out_dir}: {outs}")
+    elif args.cmd == "gen-instance-trainset":
+        from painter_tpu.data.trainset_gen import gen_instance_trainset
+        jp = gen_instance_trainset(
+            args.panoptic_json, args.panoptic_root, args.image_root,
+            args.out_dir, num_aug=args.num_aug, out_size=args.out_size,
+            seed=args.seed, max_images=args.max_images, val=args.val)
+        print(f"instance trainset json: {jp}")
+    elif args.cmd == "gen-pose-trainset":
+        from painter_tpu.data.trainset_gen import gen_pose_trainset
+        jp = gen_pose_trainset(
+            args.keypoints_json, args.image_root, args.out_dir,
+            num_aug=args.num_aug, flip_prob=args.flip_prob,
+            rot_factor=args.rot_factor, scale_factor=args.scale_factor,
+            seed=args.seed, max_anns=args.max_anns, val=args.val)
+        print(f"pose trainset json: {jp}")
+    elif args.cmd == "extract-nyu-mat":
+        n = extract_nyu_depth_mat(args.h5_path, args.split_mat,
+                                  args.out_dir, args.max_images)
+        print(f"extracted {n} images -> {args.out_dir}")
+    elif args.cmd == "gen-sidd-patches":
+        n = gen_sidd_patches(args.src_dir, args.out_dir, args.patch_size,
+                             args.num_patches, args.seed)
+        print(f"wrote {n} patches -> {args.out_dir}")
 
 
 if __name__ == "__main__":
