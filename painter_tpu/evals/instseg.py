@@ -85,3 +85,48 @@ def decode_instances(segm: np.ndarray,
         kernel="gaussian", sigma=2.0)
     return {"masks": masks.astype(np.float32),
             "scores": scores.astype(np.float32)}
+
+
+def decode_instances_minmax(segm: np.ndarray,
+                            colors_per_chunk: int = 800
+                            ) -> Dict[str, np.ndarray]:
+    """Min-max decode variant (COCOCAInstSegEvaluatorCustom.py:172-250):
+
+    every pixel is assigned its nearest palette color (sum-L1, including
+    the background black entry); each occupied color becomes one mask;
+    score = 1 - mean in-mask distance / max; masks decoded as background
+    get class 0 ('bg class will be ignored in eval'), others class 1.
+    Returns {'masks', 'scores', 'classes'}.
+    """
+    palette = coco_instance_palette().astype(np.float32)  # incl. bg last
+    segm_j = jnp.asarray(segm, jnp.float32)
+    h, w = segm.shape[:2]
+    best_dist = np.full((h, w), np.inf, np.float32)
+    best_idx = np.zeros((h, w), np.int32)
+    for start in range(0, len(palette), colors_per_chunk):
+        chunk = jnp.asarray(palette[start:start + colors_per_chunk])
+        dist = np.asarray(_chunk_dist(segm_j, chunk))  # (K, H, W) sum-L1
+        k_min = dist.argmin(0)
+        d_min = np.take_along_axis(dist, k_min[None], 0)[0]
+        upd = d_min < best_dist
+        best_dist = np.where(upd, d_min, best_dist)
+        best_idx = np.where(upd, k_min.astype(np.int32) + start, best_idx)
+
+    masks, neg, classes = [], [], []
+    for cat in np.unique(best_idx):
+        mask = best_idx == cat
+        masks.append(mask)
+        neg.append(float(best_dist[mask].mean()))
+        classes.append(0 if cat == len(palette) - 1 else 1)
+    neg = np.asarray(neg, np.float32)
+    scores = 1.0 - neg / max(float(neg.max()), 1.0)
+    return {"masks": np.stack(masks).astype(np.float32),
+            "scores": scores.astype(np.float32),
+            "classes": np.asarray(classes, np.int32)}
+
+
+@jax.jit
+def _chunk_dist(segm: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) x (K, 3) -> (K, H, W) sum-L1 distances (minmax decode
+    uses the raw channel sum, :203-205)."""
+    return jnp.abs(segm[None] - palette[:, None, None, :]).sum(-1)

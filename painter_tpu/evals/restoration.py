@@ -78,4 +78,5 @@ class RestorationEvaluator:
 
     def evaluate(self) -> Dict[str, float]:
         return {"psnr": float(np.mean(self._psnr)),
-                "ssim": float(np.mean(self._ssim))}
+                "ssim": float(np.mean(self._ssim)),
+                "n": len(self._psnr)}

@@ -33,10 +33,20 @@ def get_args_parser():
     p.add_argument("--ckpt_path", default=None)
     p.add_argument("--model", default=None,
                    help="preset name; default picked per task")
-    p.add_argument("--image_dir", required=True)
+    p.add_argument("--image_dir", default=None)
     p.add_argument("--image_ext", default="*.jpg")
     p.add_argument("--gt_dir", default=None,
                    help="labels (semseg) / depth pngs / clean images")
+    p.add_argument("--sidd_mat", default=None,
+                   help="ValidationNoisyBlocksSrgb.mat (40x32x256x256x3); "
+                        "replaces --image_dir for the real SIDD protocol")
+    p.add_argument("--sidd_gt_mat", default=None,
+                   help="ValidationGtBlocksSrgb.mat for PSNR/SSIM")
+    p.add_argument("--derain_root", default=None,
+                   help="derain test root containing "
+                        "{Rain100L,Rain100H,Test100,Test1200,Test2800}/"
+                        "{input,target}; replaces --image_dir and runs "
+                        "the 5-dataset sweep with an aggregate")
     p.add_argument("--gt_ext", default="*.png")
     p.add_argument("--prompt_image", required=True)
     p.add_argument("--prompt_target", required=True)
@@ -158,6 +168,102 @@ def paint_predictions(args, model) -> list:
     return outputs
 
 
+DERAIN_DATASETS = ("Rain100L", "Rain100H", "Test100", "Test1200",
+                   "Test2800")
+
+
+def run_sidd_mat(args, model) -> Optional[dict]:
+    """The real SIDD protocol (painter_inference_sidd.py:112-169):
+
+    paint every 256^2 block of ValidationNoisyBlocksSrgb.mat (queries
+    resized 256->448 with cv2 bilinear on [0,1] floats), clip to [0,1],
+    emit Idenoised.mat; PSNR/SSIM against the GT blocks .mat when given
+    (the reference defers metrics to unshipped MATLAB scripts)."""
+    import cv2
+    import numpy as np
+    from scipy.io import loadmat, savemat
+    from painter_tpu.infer.engine import (TASK_SPECS, build_prompt_batch,
+                                          scale_and_resize, _load_rgb)
+
+    res = args.input_size
+    noisy = np.float32(loadmat(args.sidd_mat)["ValidationNoisyBlocksSrgb"])
+    noisy /= 255.0
+    n_img, n_blk = noisy.shape[:2]
+    img2 = _load_rgb(args.prompt_image, res)
+    tgt2 = _load_rgb(args.prompt_target, res)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    restored = np.zeros_like(noisy)
+    for i in range(n_img):
+        for j in range(n_blk):
+            block = noisy[i, j]
+            query = cv2.resize(block, (res, res))
+            imgs, tgts = build_prompt_batch(query, [(img2, tgt2)])
+            out = model.run_one_image(imgs, tgts)
+            out = scale_and_resize(out, block.shape[1::-1],
+                                   TASK_SPECS["restoration"])
+            restored[i, j] = np.clip(out, 0, 1)
+    savemat(os.path.join(args.output_dir, "Idenoised.mat"),
+            {"Idenoised": restored})
+    print(f"Idenoised.mat written ({n_img}x{n_blk} blocks)")
+    if not args.sidd_gt_mat:
+        return None
+    gt = np.float32(loadmat(args.sidd_gt_mat)["ValidationGtBlocksSrgb"])
+    gt /= 255.0
+    from painter_tpu.evals.restoration import RestorationEvaluator
+    ev = RestorationEvaluator(data_range=1.0)
+    for i in range(n_img):
+        for j in range(n_blk):
+            ev.process(restored[i, j].astype(np.float64),
+                       gt[i, j].astype(np.float64))
+    return ev.evaluate()
+
+
+def run_derain_sweep(args, model) -> dict:
+    """5-dataset derain sweep + aggregate PSNR/SSIM
+
+    (painter_inference_derain.py:120-130; the published 29.42/0.867 is
+    the aggregate over all five test sets)."""
+    import argparse as _ap
+    from painter_tpu.evals.restoration import RestorationEvaluator
+    import numpy as np
+    from PIL import Image
+
+    agg = RestorationEvaluator(data_range=1.0)
+    results = {}
+    n_total = 0
+    for dset in DERAIN_DATASETS:
+        src = os.path.join(args.derain_root, dset, "input")
+        if not os.path.isdir(src):
+            print(f"[derain] {dset}: missing, skipped")
+            continue
+        sub = _ap.Namespace(**vars(args))
+        sub.image_dir = src
+        sub.gt_dir = os.path.join(args.derain_root, dset, "target")
+        sub.output_dir = os.path.join(args.output_dir, dset)
+        outputs = []
+        for ext in ("*.png", "*.jpg"):
+            sub.image_ext = ext
+            outputs += paint_predictions(sub, model)
+        ev = RestorationEvaluator(data_range=1.0)
+        for img_path, pred_path in outputs:
+            base = os.path.splitext(os.path.basename(img_path))[0]
+            cands = glob.glob(os.path.join(sub.gt_dir, base + ".*"))
+            if not cands:
+                print(f"[derain] {dset}: no GT for {base}, skipped")
+                continue
+            pred = np.asarray(Image.open(pred_path), np.float64) / 255.0
+            gt = np.asarray(Image.open(cands[0]).convert("RGB"),
+                            np.float64) / 255.0
+            ev.process(pred, gt)
+            agg.process(pred, gt)
+        results[dset] = ev.evaluate()
+        n_total += len(outputs)
+    results["aggregate"] = agg.evaluate()
+    results["num_images"] = n_total
+    return results
+
+
 def compute_metrics(args, outputs) -> Optional[dict]:
     """Phase 2: decode + metric."""
     import numpy as np
@@ -166,9 +272,16 @@ def compute_metrics(args, outputs) -> Optional[dict]:
     if args.gt_dir is None:
         return None
 
+    skipped = [0]
+
     def gt_for(img_path):
         base = os.path.splitext(os.path.basename(img_path))[0]
         cands = glob.glob(os.path.join(args.gt_dir, base + ".*"))
+        if not cands:
+            # surface dataset-layout mismatches instead of silently
+            # shrinking the eval set
+            skipped[0] += 1
+            print(f"[warn] no GT matching {base}.* in {args.gt_dir}")
         return cands[0] if cands else None
 
     if args.task in ("ade20k_semseg", "coco_semseg"):
@@ -241,6 +354,20 @@ def main():
             print(json.dumps({"task": args.task, **metrics}))
         return
     model = build_model(args)
+    if args.task == "sidd" and args.sidd_mat:
+        metrics = run_sidd_mat(args, model)
+        if metrics is not None:
+            print(json.dumps({"task": "sidd", **metrics}))
+        return
+    if args.task == "derain" and args.derain_root:
+        results = run_derain_sweep(args, model)
+        print(json.dumps({"task": "derain_sweep", **results}))
+        with open(os.path.join(args.output_dir, "metrics.json"),
+                  "w") as f:
+            json.dump(results, f)
+        return
+    assert args.image_dir, "--image_dir required (or --sidd_mat/" \
+        "--derain_root for those protocols)"
     print(f"model ready; painting shard {args.shard}/{args.num_shards}")
     outputs = paint_predictions(args, model)
     print(f"painted {len(outputs)} predictions -> {args.output_dir}")

@@ -40,6 +40,20 @@ def get_args_parser():
     p.add_argument("--stuff_area_thresh", type=float, default=8192)
     p.add_argument("--instances_score_thresh", type=float, default=0.55)
     p.add_argument("--max_images", type=int, default=-1)
+    p.add_argument("--mode", default="pq", choices=["pq", "instance_ap"],
+                   help="pq: panoptic fusion (published protocol); "
+                        "instance_ap: class-aware COCO segm AP "
+                        "(COCOInstSegEvaluatorCustom role)")
+    p.add_argument("--post_type", default="threshold",
+                   choices=["threshold", "minmax"],
+                   help="instance decode variant "
+                        "(COCOCAInstSegEvaluatorCustom.py:172/:252)")
+    p.add_argument("--with_nms", action="store_true", default=False,
+                   help="instance_ap: keep all candidates, merge classes, "
+                        "then class-wise NMS (COCOInstSegEvaluatorCustom)")
+    p.add_argument("--nms_type", default="matrix",
+                   choices=["matrix", "soft"])
+    p.add_argument("--nms_iou", type=float, default=0.6)
     return p
 
 
@@ -61,7 +75,9 @@ def evaluate(args) -> dict:
     import jax.numpy as jnp
     from PIL import Image
     from painter_tpu.data.prep import panoptic_png_to_ids
-    from painter_tpu.evals.instseg import decode_instances
+    from painter_tpu.evals.coco_ap import InstanceAPEvaluator, classwise_nms
+    from painter_tpu.evals.instseg import (decode_instances,
+                                           decode_instances_minmax)
     from painter_tpu.evals.panoptic import (PQStat,
                                             combine_semantic_and_instance,
                                             vote_instance_classes)
@@ -82,6 +98,7 @@ def evaluate(args) -> dict:
                                                          args.dist_type))
 
     stat = PQStat()
+    ap_eval = InstanceAPEvaluator()
     files = sorted(glob.glob(os.path.join(args.inst_dir, "*.png")))
     if args.max_images > 0:
         files = files[:args.max_images]
@@ -95,27 +112,55 @@ def evaluate(args) -> dict:
                               np.float32)
         sem_png = np.asarray(Image.open(sem_path).convert("RGB"),
                              np.float32)
-        inst = decode_instances(inst_png, dist_thr_list=(args.dist_thr,))
+        if args.post_type == "minmax":
+            inst = decode_instances_minmax(inst_png)
+            bg = inst["classes"] == 0
+            inst = {"masks": inst["masks"][~bg],
+                    "scores": inst["scores"][~bg]}
+        else:
+            inst = decode_instances(inst_png,
+                                    dist_thr_list=(args.dist_thr,),
+                                    keep_all=args.with_nms)
         sem_dist = np.asarray(dist_fn(jnp.asarray(sem_png)))
         sem_map = np.asarray(decode_fn(jnp.asarray(sem_png)))
         classes = vote_instance_classes(inst["masks"], sem_dist,
                                         num_things)
-        pan, segs = combine_semantic_and_instance(
-            inst["masks"], inst["scores"], classes, sem_map,
-            args.overlap_threshold, args.stuff_area_thresh,
-            args.instances_score_thresh, num_things)
 
         ann = gt_by_file[base]
         gt_png = np.asarray(Image.open(
             os.path.join(args.gt_dir, base)).convert("RGB"))
         gt_map = panoptic_png_to_ids(gt_png).astype(np.int64)
-        gt_segs = [{"id": s["id"],
-                    "category_id": cat_map[s["category_id"]],
-                    "isthing": cat_map[s["category_id"]] < num_things}
-                   for s in ann["segments_info"]]
-        stat.process_image(pan, segs, gt_map, gt_segs)
+
+        if args.mode == "instance_ap":
+            masks, labels, scores = inst["masks"], classes, inst["scores"]
+            if args.with_nms:
+                masks, labels, scores = classwise_nms(
+                    masks, labels, scores, args.nms_type, args.nms_iou)
+            dets = [{"mask": m, "score": float(s), "category": int(c)}
+                    for m, s, c in zip(masks, scores, labels)]
+            gts = [{"mask": gt_map == s["id"],
+                    "category": cat_map[s["category_id"]],
+                    "iscrowd": s.get("iscrowd", 0),
+                    "area": s.get("area")}
+                   for s in ann["segments_info"]
+                   if cat_map[s["category_id"]] < num_things]
+            for g in gts:
+                if g["area"] is None:
+                    g["area"] = float(g["mask"].sum())
+            ap_eval.add_image(dets, gts)
+        else:
+            pan, segs = combine_semantic_and_instance(
+                inst["masks"], inst["scores"], classes, sem_map,
+                args.overlap_threshold, args.stuff_area_thresh,
+                args.instances_score_thresh, num_things)
+            gt_segs = [{"id": s["id"],
+                        "category_id": cat_map[s["category_id"]],
+                        "isthing": cat_map[s["category_id"]] < num_things}
+                       for s in ann["segments_info"]]
+            stat.process_image(pan, segs, gt_map, gt_segs)
         n_eval += 1
-    res = stat.evaluate()
+    res = ap_eval.evaluate() if args.mode == "instance_ap" \
+        else stat.evaluate()
     res["n_images"] = n_eval
     return res
 

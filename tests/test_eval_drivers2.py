@@ -12,8 +12,8 @@ from painter_tpu.ops.palette import coco_semseg_palette
 from painter_tpu.utils.profiling import StepTimer, device_memory_stats
 
 
-def test_panoptic_driver_perfect_predictions(tmp_path):
-    """Painted predictions == painted GT must score PQ 100 on things."""
+def _build_panoptic_fixture(tmp_path):
+    """Painted predictions == painted GT: one thing + stuff background."""
     h, w = 96, 96
     inst_dir = tmp_path / "inst"
     sem_dir = tmp_path / "sem"
@@ -56,7 +56,12 @@ def test_panoptic_driver_perfect_predictions(tmp_path):
     }
     jp = tmp_path / "gt.json"
     jp.write_text(json.dumps(gt_json))
+    return inst_dir, sem_dir, gt_dir, jp
 
+
+def test_panoptic_driver_perfect_predictions(tmp_path):
+    """Painted predictions == painted GT must score PQ 100 on things."""
+    inst_dir, sem_dir, gt_dir, jp = _build_panoptic_fixture(tmp_path)
     args = run_panoptic.get_args_parser().parse_args([
         "--inst_dir", str(inst_dir), "--semseg_dir", str(sem_dir),
         "--gt_json", str(jp), "--gt_dir", str(gt_dir),
@@ -65,6 +70,26 @@ def test_panoptic_driver_perfect_predictions(tmp_path):
     assert res["n_images"] == 1
     assert res["PQ_th"] == pytest.approx(100.0)
     assert res["PQ_st"] == pytest.approx(100.0)
+
+
+@pytest.mark.parametrize("extra", [
+    [],                                       # threshold decode
+    ["--post_type", "minmax"],                # minmax decode variant
+    ["--with_nms", "--nms_type", "soft"],     # keep_all + soft-NMS
+    ["--with_nms", "--nms_type", "matrix"],
+])
+def test_panoptic_driver_instance_ap(tmp_path, extra):
+    """Class-aware instance AP (COCOInstSegEvaluatorCustom role): a
+    perfect painted prediction scores AP 100 in every decode/NMS mode."""
+    inst_dir, sem_dir, gt_dir, jp = _build_panoptic_fixture(tmp_path)
+    args = run_panoptic.get_args_parser().parse_args([
+        "--inst_dir", str(inst_dir), "--semseg_dir", str(sem_dir),
+        "--gt_json", str(jp), "--gt_dir", str(gt_dir),
+        "--mode", "instance_ap", *extra])
+    res = run_panoptic.evaluate(args)
+    assert res["n_images"] == 1
+    assert res["AP"] == pytest.approx(100.0), res
+    assert res["AP50"] == pytest.approx(100.0)
 
 
 def test_pose_driver_perfect_predictions(tmp_path):

@@ -90,6 +90,58 @@ def test_eval_driver_depth(synth, tmp_path):
     assert np.isfinite(metrics["rmse"])
 
 
+def test_sidd_mat_protocol(synth, tmp_path):
+    """ValidationNoisyBlocksSrgb.mat in -> Idenoised.mat out + PSNR/SSIM
+    (painter_inference_sidd.py:112-169)."""
+    from scipy.io import loadmat, savemat
+    from painter_tpu.evals.run_eval import run_sidd_mat
+    rng = np.random.RandomState(3)
+    gt = (rng.rand(2, 3, 24, 24, 3) * 255).astype(np.float32)
+    noisy = np.clip(gt + rng.randn(*gt.shape) * 8, 0, 255).astype(
+        np.float32)
+    savemat(synth / "noisy.mat", {"ValidationNoisyBlocksSrgb": noisy})
+    savemat(synth / "gt.mat", {"ValidationGtBlocksSrgb": gt})
+    args = _args(synth, tmp_path / "sidd_out", "sidd")
+    args.sidd_mat = str(synth / "noisy.mat")
+    args.sidd_gt_mat = str(synth / "gt.mat")
+    model = build_model(args)
+    metrics = run_sidd_mat(args, model)
+    assert np.isfinite(metrics["psnr"]) and 0 <= metrics["ssim"] <= 1
+    out = loadmat(tmp_path / "sidd_out" / "Idenoised.mat")["Idenoised"]
+    assert out.shape == noisy.shape
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_derain_sweep_aggregate(synth, tmp_path):
+    """Multi-dataset derain sweep prints per-set + aggregate PSNR/SSIM
+    (painter_inference_derain.py:120-130)."""
+    from painter_tpu.evals.run_eval import run_derain_sweep
+    rng = np.random.RandomState(4)
+    root = synth / "derain"
+    counts = {"Rain100L": 2, "Test100": 3}
+    for dset, n in counts.items():
+        (root / dset / "input").mkdir(parents=True)
+        (root / dset / "target").mkdir(parents=True)
+        for i in range(n):
+            clean = (rng.rand(20, 22, 3) * 255).astype(np.uint8)
+            rain = np.clip(clean + rng.randn(20, 22, 3) * 20, 0,
+                           255).astype(np.uint8)
+            Image.fromarray(rain).save(
+                root / dset / "input" / f"r{i}.jpg")
+            Image.fromarray(clean).save(
+                root / dset / "target" / f"r{i}.jpg")
+    args = _args(synth, tmp_path / "derain_out", "derain")
+    args.derain_root = str(root)
+    model = build_model(args)
+    results = run_derain_sweep(args, model)
+    assert set(counts) <= set(results)
+    assert results["num_images"] == 5
+    agg = results["aggregate"]
+    assert np.isfinite(agg["psnr"]) and np.isfinite(agg["ssim"])
+    # the aggregate pools all images, not the mean of per-set means
+    assert agg["n"] == 5
+
+
 def test_decode_only_mode(synth, tmp_path):
     """Phase 1 with two shards, then one decode_only pass over all PNGs."""
     out = tmp_path / "out_sharded"
