@@ -19,6 +19,8 @@ import math
 import sys
 import time
 
+import numpy as np
+
 
 def get_args_parser():
     p = argparse.ArgumentParser("Painter-TPU training", add_help=False)
@@ -52,6 +54,11 @@ def get_args_parser():
     p.add_argument("--save_freq", default=1, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--print_freq", default=20, type=int)
+    p.add_argument("--panel_freq", default=0, type=int,
+                   help="every N update steps, dump an [x, masked, pred, "
+                        "tgt] PNG panel of the current batch "
+                        "(engine_train.py:112-139 wandb-panel role; "
+                        "0 = off)")
     p.add_argument("--loss_func", default="smoothl1")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--n_fsdp", default=1, type=int,
@@ -85,7 +92,9 @@ def main(args):
     from painter_tpu.train import checkpoint as ckpt_lib
     from painter_tpu.train import optim, step as step_lib
     from painter_tpu.utils.cache import enable_compilation_cache
-    from painter_tpu.utils.logging import MetricLogger, append_log_line
+    from painter_tpu.utils.logging import (MetricLogger, ScalarWriter,
+                                           append_log_line,
+                                           dump_sample_panel)
 
     enable_compilation_cache()
 
@@ -189,6 +198,17 @@ def main(args):
             start_epoch = resumed // max(steps_per_epoch, 1)
             print(f"auto-resumed from step {resumed} (epoch {start_epoch})")
 
+    lr_schedule = optim.cosine_warmup_schedule(oc)
+    scalar_writer = ScalarWriter(args.output_dir) \
+        if jax.process_index() == 0 else None
+
+    @jax.jit
+    def panel_predict(params, imgs, tgts, mask):
+        from painter_tpu.ops import image as image_ops
+        pred = model_lib.predict_image(params, cfg, imgs, tgts, mask,
+                                       attn_impl=attn_impl)
+        return image_ops.denormalize(pred)
+
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()
@@ -199,14 +219,19 @@ def main(args):
 
         def drain_metrics():
             # one host sync for the whole window; the device ran ahead
-            for mt in pending:
+            for gstep, mt in pending:
                 loss_v = float(mt["loss"])
                 if not math.isfinite(loss_v):
                     print(f"Loss is {loss_v}, stopping training "
                           "(engine_train.py:70-72 watchdog)")
                     sys.exit(1)
-                logger.update(loss=loss_v,
-                              grad_norm=float(mt["grad_norm"]))
+                gn = float(mt["grad_norm"])
+                logger.update(loss=loss_v, grad_norm=gn)
+                if scalar_writer is not None:
+                    scalar_writer.write(
+                        gstep, gstep / max(steps_per_epoch, 1),
+                        loss=loss_v, grad_norm=gn,
+                        lr=float(lr_schedule(gstep)))
             pending.clear()
 
         step_count = 0
@@ -217,14 +242,29 @@ def main(args):
             if step_idx >= steps_per_epoch:
                 break
             batch = put_batch(batch, batch_sh)
-            step_rng = jax.random.fold_in(rng, epoch * steps_per_epoch
-                                          + step_idx)
+            gstep = epoch * steps_per_epoch + step_idx
+            step_rng = jax.random.fold_in(rng, gstep)
+            # panels need fully-addressable arrays: single-process only
+            if args.panel_freq > 0 and gstep % args.panel_freq == 0 \
+                    and jax.process_count() == 1:
+                mb = ({k: v[0] for k, v in batch.items()}
+                      if args.accum_iter > 1 else batch)
+                pred = panel_predict(state["params"], mb["imgs"],
+                                     mb["tgts"], mb["mask"])
+                path = dump_sample_panel(
+                    args.output_dir, gstep,
+                    np.asarray(mb["imgs"]), np.asarray(mb["tgts"]),
+                    np.asarray(mb["mask"]), np.asarray(pred),
+                    cfg.patch_size)
+                print(f"sample panel -> {path}")
             state, metrics = train_step(state, batch, step_rng)
-            pending.append(metrics)
+            pending.append((gstep, metrics))
             step_count += 1
             if step_count % max(args.watchdog_freq, 1) == 0:
                 drain_metrics()
         drain_metrics()
+        # cross-process meter reduction (misc.py:43-54 role)
+        logger.synchronize_between_processes()
         stats = {f"train_{k}": v for k, v in logger.summary().items()}
 
         if val_dataset is not None:
@@ -241,6 +281,7 @@ def main(args):
                 batch = put_batch(batch, eval_sh)
                 m = eval_step(state["params"], batch)
                 vlogger.update(loss=float(m["loss"]))
+            vlogger.synchronize_between_processes()
             stats.update({f"val_{k}": v for k, v in
                           vlogger.summary().items()})
 

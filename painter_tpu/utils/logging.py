@@ -107,9 +107,106 @@ class MetricLogger:
     def summary(self) -> Dict[str, float]:
         return {k: m.global_avg for k, m in self.meters.items()}
 
+    def synchronize_between_processes(self) -> None:
+        """All-reduce each meter's (count, total) across hosts — the
+        reference's SmoothedValue.synchronize_between_processes
+        (misc.py:43-54). The windowed deque stays local, as there."""
+        import jax
+        if jax.process_count() == 1:
+            return
+        import numpy as np
+        from jax.experimental import multihost_utils
+        names = sorted(self.meters)
+        local = np.array([[self.meters[n].count, self.meters[n].total]
+                          for n in names], np.float64)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(local))  # (P, N, 2)
+        summed = gathered.sum(axis=0)
+        for n, (count, total) in zip(names, summed):
+            self.meters[n].count = int(count)
+            self.meters[n].total = float(total)
+
+
+def all_reduce_mean(value: float) -> float:
+    """Mean of a host scalar across processes (misc.py:380-388)."""
+    import jax
+    if jax.process_count() == 1:
+        return float(value)
+    import numpy as np
+    from jax.experimental import multihost_utils
+    return float(np.asarray(multihost_utils.process_allgather(
+        np.asarray([value], np.float64))).mean())
+
 
 def append_log_line(output_dir: str, stats: Dict) -> None:
     """JSON-lines epoch log (main_train.py:379-383)."""
     os.makedirs(output_dir, exist_ok=True)
     with open(os.path.join(output_dir, "log.txt"), "a") as f:
         f.write(json.dumps(stats) + "\n")
+
+
+class ScalarWriter:
+    """Per-step scalar stream: JSON-lines with the reference's TB axis.
+
+    The reference logs train scalars on an ``epoch_1000x`` x-axis
+    ("calibrating curves when batch size changes",
+    engine_train.py:104-110). One record per write:
+    {"step", "epoch_1000x", **scalars} -> <output_dir>/scalars.jsonl.
+    """
+
+    def __init__(self, output_dir: str, fname: str = "scalars.jsonl"):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, fname)
+        self._f = open(self.path, "a")
+
+    def write(self, step: int, epoch_frac: float, **scalars) -> None:
+        rec = {"step": int(step), "epoch_1000x": int(epoch_frac * 1000)}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def render_sample_panel(imgs, tgts, mask, pred, patch_size: int,
+                        max_samples: int = 8):
+    """[x, masked target, prediction, target] grid as one uint8 image.
+
+    The reference's wandb image panels (engine_train.py:112-139): per
+    sample a row of the four views, up to ``max_samples`` rows. imgs and
+    tgts are ImageNet-normalized (B, H, W, 3); mask is (B, L) with 1 =
+    masked patch; pred is the de-normalized [0, 1] prediction.
+    """
+    import numpy as np
+    from painter_tpu.configs import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    imgs = np.asarray(imgs)[:max_samples] * std + mean
+    tgts = np.asarray(tgts)[:max_samples] * std + mean
+    pred = np.asarray(pred)[:max_samples]
+    mask = np.asarray(mask)[:max_samples]
+    b, h, w, _ = imgs.shape
+    gh, gw = h // patch_size, w // patch_size
+    mask_px = mask.reshape(b, gh, gw)[:, :, None, :, None]
+    mask_px = np.broadcast_to(
+        mask_px, (b, gh, patch_size, gw, patch_size)).reshape(b, h, w, 1)
+    masked = tgts * (1 - mask_px) + 0.5 * mask_px  # gray masked patches
+    rows = [np.concatenate([imgs[i], masked[i], pred[i], tgts[i]], axis=1)
+            for i in range(b)]
+    panel = np.concatenate(rows, axis=0)
+    return (np.clip(panel, 0, 1) * 255).astype(np.uint8)
+
+
+def dump_sample_panel(output_dir: str, step: int, imgs, tgts, mask, pred,
+                      patch_size: int, max_samples: int = 8) -> str:
+    """Write the panel PNG -> <output_dir>/panels/panel_step{K}.png."""
+    from PIL import Image
+    panel = render_sample_panel(imgs, tgts, mask, pred, patch_size,
+                                max_samples)
+    d = os.path.join(output_dir, "panels")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"panel_step{step}.png")
+    Image.fromarray(panel).save(path)
+    return path

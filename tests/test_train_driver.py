@@ -38,7 +38,7 @@ def test_toy_training_run(toy_data, tmp_path):
         "--num_mask_patches", "4", "--max_mask_patches_per_block", "4",
         "--min_mask_patches_per_block", "1", "--dtype", "float32",
         "--max_steps_per_epoch", "2", "--save_freq", "1",
-        "--n_fsdp", "2", "--attn_impl", "xla",
+        "--n_fsdp", "2", "--attn_impl", "xla", "--panel_freq", "1",
     ])
     # tiny_test ignores drop_path etc. via preset kwargs
     state = main(args)
@@ -51,6 +51,21 @@ def test_toy_training_run(toy_data, tmp_path):
     assert np.isfinite(lines[-1]["train_loss"])
     # checkpoints written
     assert os.path.isdir(os.path.join(out_dir, "checkpoints"))
+
+    # per-step scalar stream (engine_train.py:104-110 role)
+    scalars = [json.loads(l)
+               for l in open(os.path.join(out_dir, "scalars.jsonl"))]
+    assert len(scalars) == 2
+    assert {"step", "epoch_1000x", "loss", "grad_norm", "lr"} <= \
+        set(scalars[0])
+    assert scalars[0]["lr"] == 0  # per-iter warmup starts at 0
+    assert scalars[-1]["lr"] > 0
+    # sample panels (engine_train.py:112-139 role): [x, masked, pred,
+    # tgt] grid -> width 4x the stitched canvas
+    panel = os.path.join(out_dir, "panels", "panel_step0.png")
+    assert os.path.exists(panel)
+    arr = np.asarray(Image.open(panel))
+    assert arr.shape[1] == 4 * 32 and arr.shape[0] % 64 == 0
 
     # auto-resume: re-running continues from epoch 2 == done, no new steps
     state2 = main(args)
