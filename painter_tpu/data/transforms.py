@@ -181,6 +181,68 @@ class PairColorJitter:
         return img, tgt
 
 
+class PairRandomErasing:
+    """Random erasing on the *input only* (pair_transforms.py:264-320;
+
+    unused by the reference training recipe but part of its transform
+    toolkit). torchvision get_params semantics: uniform area in ``scale``
+    x image area, log-uniform aspect in ``ratio``, 10 attempts, no-op
+    fallback. Operates on whatever array stage it's placed at (the
+    reference applies it post-normalize); PIL inputs are converted.
+    ``value='random'`` fills with standard-normal noise."""
+
+    def __init__(self, p=0.5, scale=(0.02, 0.33), ratio=(0.3, 3.3),
+                 value=0.0):
+        self.p = p
+        self.scale = scale
+        self.ratio = ratio
+        self.value = value
+
+    def __call__(self, img, tgt, rng, interp1=None, interp2=None):
+        if rng.random() >= self.p:
+            return img, tgt
+        was_pil = isinstance(img, Image.Image)
+        arr = np.array(img, np.float32)  # copy: erasing mutates
+        h, w = arr.shape[:2]
+        log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+        for _ in range(10):
+            erase_area = h * w * rng.uniform(*self.scale)
+            aspect = math.exp(rng.uniform(*log_ratio))
+            eh = int(round(math.sqrt(erase_area * aspect)))
+            ew = int(round(math.sqrt(erase_area / aspect)))
+            if not (eh < h and ew < w):
+                continue
+            top = int(rng.integers(0, h - eh + 1))
+            left = int(rng.integers(0, w - ew + 1))
+            if self.value == "random":
+                arr[top:top + eh, left:left + ew] = rng.standard_normal(
+                    (eh, ew) + arr.shape[2:]).astype(np.float32)
+            else:
+                arr[top:top + eh, left:left + ew] = self.value
+            break
+        if was_pil:
+            img = Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8))
+        else:
+            img = arr
+        return img, tgt
+
+
+class PairGaussianBlur:
+    """SimCLR-style Gaussian blur on the *input only*
+
+    (pair_transforms.py:323-337; unused by the recipe): sigma ~
+    U(sigma[0], sigma[1]), PIL GaussianBlur(radius=sigma)."""
+
+    def __init__(self, sigma=(0.1, 2.0)):
+        self.sigma = sigma
+
+    def __call__(self, img, tgt, rng, interp1=None, interp2=None):
+        from PIL import ImageFilter
+        sigma = rng.uniform(self.sigma[0], self.sigma[1])
+        img = img.filter(ImageFilter.GaussianBlur(radius=sigma))
+        return img, tgt
+
+
 class PairToArrayNormalize:
     """PIL -> float32 HWC in ImageNet-normalized space."""
 

@@ -71,26 +71,41 @@ TASK_SPECS = {
 }
 
 
+def _prompt_bucket(n: int) -> int:
+    """Next power of two >= n: the prompt-count compile buckets."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 class InContextModel:
     """Bundles (config, params) with jitted in-context predict functions."""
 
     def __init__(self, cfg: ModelConfig, params,
                  attn_impl: Optional[str] = None,
-                 seg_type: str = "semantic"):
+                 seg_type: str = "semantic",
+                 pad_prompts: bool = True):
         self.cfg = cfg
         self.params = params
         self.attn_impl = attn_impl or default_attn_impl()
         self.seg_type = seg_type  # 'semantic' | 'instance' (SegGPT CLI)
+        # Bucket prompt counts to powers of two with a weighted ensemble
+        # (weight 0 on padded samples == the reference's mean over the real
+        # samples), so the video engine's growing rolling cache triggers
+        # O(log K) compiles instead of one per frame count.
+        self.pad_prompts = pad_prompts
 
         @functools.partial(jax.jit, static_argnames=("merge",))
-        def _predict(params, imgs, tgts, mask, seg_type_arr, merge):
+        def _predict(params, imgs, tgts, mask, seg_type_arr, merge,
+                     weights=None):
             # query-half fast path: decodes only sample 0's bottom-half
             # tokens (bitwise == slicing the full decode); de-normalize
             # fused (seggpt_engine.py:48-53)
             out = model_lib.predict_query_half(
                 params, self.cfg, imgs, tgts, mask,
                 seg_type=seg_type_arr, merge_between_batch=merge,
-                attn_impl=self.attn_impl)
+                attn_impl=self.attn_impl, ensemble_weights=weights)
             return image_ops.denormalize(out)
 
         self._predict = _predict
@@ -102,15 +117,31 @@ class InContextModel:
         (unscaled). Mirrors ``seggpt_engine.run_one_image`` (:26-53).
         """
         n = img.shape[0]
+        merge = 0 if n > 1 else -1  # seggpt_engine.py:46
+        weights = None
+        if self.pad_prompts and n > 1:
+            nb = _prompt_bucket(n)
+            # ensemble weights: 1/n on real prompts, 0 on padding (exact
+            # match of the unpadded mean); pads repeat sample 0 so every
+            # intermediate stays finite
+            weights = jnp.concatenate(
+                [jnp.full((n,), 1.0 / n, jnp.float32),
+                 jnp.zeros((nb - n,), jnp.float32)])
+            if nb != n:
+                img = np.concatenate(
+                    [img, np.repeat(img[:1], nb - n, axis=0)])
+                tgt = np.concatenate(
+                    [tgt, np.repeat(tgt[:1], nb - n, axis=0)])
+                n = nb
         num_patches = (img.shape[1] // self.cfg.patch_size) * \
                       (img.shape[2] // self.cfg.patch_size)
         mask = image_ops.bottom_half_mask(n, num_patches)
         st_val = 1 if self.seg_type == "instance" else 0
         st = jnp.full((n, 1), st_val, jnp.int32) \
             if self.cfg.seg_type_tokens else None
-        merge = 0 if n > 1 else -1  # seggpt_engine.py:46
         out = self._predict(self.params, jnp.asarray(img, jnp.float32),
-                            jnp.asarray(tgt, jnp.float32), mask, st, merge)
+                            jnp.asarray(tgt, jnp.float32), mask, st, merge,
+                            weights)
         return np.asarray(out)
 
 

@@ -213,20 +213,32 @@ def _drop_path(x: jnp.ndarray, rate, key: Optional[jax.Array],
     return x * mask.astype(x.dtype) / jnp.asarray(keep, x.dtype)
 
 
-def _feature_ensemble(x: jnp.ndarray, groups: int) -> jnp.ndarray:
+def _feature_ensemble(x: jnp.ndarray, groups: int,
+                      weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """SegGPT multi-prompt ensemble (models_seggpt.py:221-230).
 
     Splits the token grid along height into (prompt-half, query-half) and
     replaces the query-half with its mean over the prompt batch. Before the
     stream merge the batch holds the x- and y-streams stacked (groups=2);
     after it groups=1.
+
+    ``weights`` (per-prompt, shape (n,), summing to 1) generalizes the mean
+    to a weighted sum so one compiled shape can serve any real prompt count
+    <= n: padded prompt samples get weight 0 and drop out of the pooled
+    query half exactly (the padded samples' own query halves are then
+    overwritten with the pooled value, and only sample 0 is ever read).
     """
     hp = x.shape[1] // 2
     prompt, inputs = x[:, :hp], x[:, hp:]
     b = x.shape[0]
     n = b // groups
-    pooled = inputs.reshape(groups, n, *inputs.shape[1:]).mean(
-        axis=1, keepdims=True)
+    grouped = inputs.reshape(groups, n, *inputs.shape[1:])
+    if weights is None:
+        pooled = grouped.mean(axis=1, keepdims=True)
+    else:
+        w = weights.astype(inputs.dtype).reshape(
+            (1, n) + (1,) * (inputs.ndim - 1))
+        pooled = (grouped * w).sum(axis=1, keepdims=True)
     inputs = jnp.broadcast_to(
         pooled, (groups, n) + inputs.shape[1:]).reshape(inputs.shape)
     return jnp.concatenate([prompt, inputs], axis=1)
@@ -259,6 +271,7 @@ def residual_bottleneck_apply(rp: Params, x: jnp.ndarray,
 def block_apply(bp: Params, x: jnp.ndarray, cfg: ModelConfig, *,
                 window_size: int = 0, dpr=0.0,
                 ensemble_groups: int = 0,
+                ensemble_weights: Optional[jnp.ndarray] = None,
                 train: bool = False, rng: Optional[jax.Array] = None,
                 attn_impl: str = "xla") -> jnp.ndarray:
     """One transformer block over an (B, H, W, C) grid."""
@@ -280,7 +293,7 @@ def block_apply(bp: Params, x: jnp.ndarray, cfg: ModelConfig, *,
         att = window_unpartition(att, window_size, pad_hw, (h, w))
 
     if ensemble_groups:
-        att = _feature_ensemble(att, ensemble_groups)
+        att = _feature_ensemble(att, ensemble_groups, ensemble_weights)
 
     k1 = k2 = None
     if train and rng is not None:
@@ -326,7 +339,9 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                     rng: Optional[jax.Array] = None,
                     attn_impl: str = "xla",
                     remat: bool = False,
-                    act_constraint=None) -> List[jnp.ndarray]:
+                    act_constraint=None,
+                    ensemble_weights: Optional[jnp.ndarray] = None,
+                    ) -> List[jnp.ndarray]:
     """imgs/tgts (B, H, W, 3) NHWC -> list of tapped features (B,Hp,Wp,C)."""
     dtype = cfg.compute_dtype
     kernel = params["patch_embed"]["kernel"].astype(dtype)
@@ -379,8 +394,9 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
     def make_block(ws: int, groups: int):
         def fn(bp, h, rate, key):
             return block_apply(bp, h, cfg, window_size=ws, dpr=rate,
-                               ensemble_groups=groups, train=train,
-                               rng=key, attn_impl=attn_impl)
+                               ensemble_groups=groups,
+                               ensemble_weights=ensemble_weights,
+                               train=train, rng=key, attn_impl=attn_impl)
         return jax.checkpoint(fn) if remat else fn
 
     def step_rng(i):
@@ -580,7 +596,9 @@ def predict_query_half(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                        tgts: jnp.ndarray, bool_masked_pos: jnp.ndarray,
                        seg_type: Optional[jnp.ndarray] = None,
                        merge_between_batch: int = -1,
-                       attn_impl: str = "xla") -> jnp.ndarray:
+                       attn_impl: str = "xla",
+                       ensemble_weights: Optional[jnp.ndarray] = None,
+                       ) -> jnp.ndarray:
     """In-context inference fast path -> (H/2, W, 3) painted query half.
 
     The engines only ever read the bottom (query) half of sample 0
@@ -595,7 +613,8 @@ def predict_query_half(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                             bool_masked_pos.reshape(imgs.shape[0], -1),
                             seg_type=seg_type,
                             merge_between_batch=merge_between_batch,
-                            train=False, attn_impl=attn_impl)
+                            train=False, attn_impl=attn_impl,
+                            ensemble_weights=ensemble_weights)
     gh = feats[0].shape[1]
     half = gh // 2
     sliced = [f[:1, half - 1:] for f in feats]

@@ -28,7 +28,7 @@ from painter_tpu.configs import ModelConfig
 class OptimConfig:
     lr: float = 1e-3
     min_lr: float = 0.0
-    weight_decay: float = 0.05
+    weight_decay: float = 0.1  # main_train.py:91 + train_painter_vit_large.sh
     layer_decay: float = 0.8
     clip_grad: Optional[float] = 3.0
     betas: tuple = (0.9, 0.999)

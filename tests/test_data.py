@@ -98,6 +98,43 @@ def toy_root(tmp_path_factory):
     return str(root), json_paths
 
 
+def test_random_erasing_input_only():
+    """Erases one rectangle in the input; target untouched; array stage
+    keeps float dtype (pair_transforms.py:264-320 semantics)."""
+    arr = np.ones((40, 40, 3), np.float32)
+    er = T.PairRandomErasing(p=1.0, value=0.0)
+    out_i, out_t = er(arr, arr, np.random.default_rng(0))
+    assert out_t is arr  # target passes through untouched
+    erased = (out_i == 0.0).all(-1)
+    assert 0 < erased.sum() < 40 * 40
+    # erased region proportion within the sampled scale range
+    frac = erased.sum() / (40 * 40)
+    assert 0.01 <= frac <= 0.40
+    # p=0 is a no-op
+    out_i0, _ = T.PairRandomErasing(p=0.0)(arr, arr,
+                                           np.random.default_rng(0))
+    assert np.array_equal(out_i0, arr)
+    # 'random' fill draws noise, not a constant
+    out_ir, _ = T.PairRandomErasing(p=1.0, value="random")(
+        arr, arr, np.random.default_rng(1))
+    changed = ~np.isclose(out_ir, 1.0).all(-1)
+    assert changed.any() and np.std(out_ir[changed]) > 0.1
+
+
+def test_gaussian_blur_input_only():
+    rng_img = np.random.RandomState(0)
+    arr = (rng_img.rand(32, 32, 3) * 255).astype(np.uint8)
+    img, tgt = Image.fromarray(arr), Image.fromarray(arr)
+    gb = T.PairGaussianBlur(sigma=(2.0, 2.0))
+    out_i, out_t = gb(img, tgt, np.random.default_rng(0))
+    blurred = np.asarray(out_i, np.float32)
+    assert not np.array_equal(blurred, arr)
+    # blur reduces high-frequency energy
+    assert np.abs(np.diff(blurred, axis=0)).mean() < \
+        np.abs(np.diff(arr.astype(np.float32), axis=0)).mean()
+    assert np.array_equal(np.asarray(out_t), arr)
+
+
 def test_pairdataset_sample_semantics(toy_root):
     root, json_paths = toy_root
     ds = make_train_dataset(root, json_paths, img_size=(64, 32),

@@ -46,6 +46,39 @@ def test_inference_image_single_and_multi_prompt(tiny_model, tmp_path):
     assert o2.shape == (40, 50, 3)
 
 
+def test_prompt_padding_bucket_parity(tiny_model):
+    """n=3 prompts pad to the 4-bucket with weights [1/3,1/3,1/3,0]; the
+    weighted ensemble must reproduce the exact-shape (unpadded) mean."""
+    cfg = tiny_model.cfg
+    exact = engine.InContextModel(cfg, tiny_model.params, attn_impl="xla",
+                                  pad_prompts=False)
+    rng = np.random.RandomState(3)
+    h, w = cfg.img_size
+    img = rng.rand(3, h, w, 3).astype(np.float32)
+    tgt = rng.rand(3, h, w, 3).astype(np.float32)
+    o_pad = tiny_model.run_one_image(img, tgt)
+    o_exact = exact.run_one_image(img, tgt)
+    assert o_pad.shape == o_exact.shape
+    np.testing.assert_allclose(o_pad, o_exact, atol=1e-4, rtol=1e-4)
+
+
+def test_prompt_bucket_compile_reuse(tiny_model):
+    """Prompt counts 3 and 4 share the 4-bucket compile."""
+    cfg = tiny_model.cfg
+    rng = np.random.RandomState(4)
+    h, w = cfg.img_size
+    before = None
+    for n in (3, 4):
+        img = rng.rand(n, h, w, 3).astype(np.float32)
+        tgt = rng.rand(n, h, w, 3).astype(np.float32)
+        out = tiny_model.run_one_image(img, tgt)
+        assert out.shape == (h // 2, w, 3) and np.isfinite(out).all()
+        if before is None:
+            before = tiny_model._predict._cache_size()
+    # n=4 reuses the 4-bucket entry compiled for n=3: no cache growth
+    assert tiny_model._predict._cache_size() == before
+
+
 def test_inference_video_rolling_cache(tiny_model, tmp_path):
     import cv2
     vid = str(tmp_path / "in.mp4")
