@@ -196,9 +196,9 @@ def _slice_block(blocks: Params, i) -> Params:
 # Block
 # ---------------------------------------------------------------------------
 
-def _mlp(bp: Params, x: jnp.ndarray) -> jnp.ndarray:
+def _mlp(bp: Params, x: jnp.ndarray, gelu_approx: bool = False) -> jnp.ndarray:
     x = x @ bp["fc1"]["kernel"].astype(x.dtype) + bp["fc1"]["bias"].astype(x.dtype)
-    x = jax.nn.gelu(x, approximate=False)
+    x = jax.nn.gelu(x, approximate=gelu_approx)
     x = x @ bp["fc2"]["kernel"].astype(x.dtype) + bp["fc2"]["bias"].astype(x.dtype)
     return x
 
@@ -300,7 +300,8 @@ def block_apply(bp: Params, x: jnp.ndarray, cfg: ModelConfig, *,
         k1, k2 = jax.random.split(rng)
     x = shortcut + _drop_path(att, dpr, k1, train)
     xm = _mlp(bp["mlp"], layer_norm(x, bp["norm2"]["scale"],
-                                    bp["norm2"]["bias"], cfg.ln_eps))
+                                    bp["norm2"]["bias"], cfg.ln_eps),
+              gelu_approx=cfg.gelu_approximate)
     x = x + _drop_path(xm, dpr, k2, train)
     return x
 
@@ -493,7 +494,7 @@ def forward_decoder(params: Params, cfg: ModelConfig,
         x, dp["conv1"]["kernel"].astype(dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + dp["conv1"]["bias"].astype(dtype)
     x = layer_norm(x, dp["ln"]["scale"], dp["ln"]["bias"], eps=1e-6)
-    x = jax.nn.gelu(x, approximate=False)
+    x = jax.nn.gelu(x, approximate=cfg.gelu_approximate)
     x = jax.lax.conv_general_dilated(
         x, dp["conv2"]["kernel"].astype(dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + dp["conv2"]["bias"].astype(dtype)

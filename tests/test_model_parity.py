@@ -192,3 +192,25 @@ def test_parity_residual_bottleneck_blocks():
         rb[i]["norm3"]["scale"] = 0.5 + 0.1 * j.random.normal(
             j.random.PRNGKey(int(i)), rb[i]["norm3"]["scale"].shape)
     _compare(cfg, params, imgs, tgts, mask, valid)
+
+
+def test_gelu_auto_resolution_and_bf16_equivalence():
+    """gelu='auto' -> tanh only in bf16; the tanh flavor's deviation from
+    exact erf stays below bf16 resolution through the full model."""
+    assert not configs.tiny_test_config().gelu_approximate
+    assert configs.tiny_test_config(dtype="bfloat16").gelu_approximate
+    assert configs.tiny_test_config(gelu="tanh").gelu_approximate
+    assert not configs.tiny_test_config(dtype="bfloat16",
+                                        gelu="exact").gelu_approximate
+
+    cfg16 = configs.tiny_test_config(dtype="bfloat16")
+    cfg16_exact = configs.tiny_test_config(dtype="bfloat16", gelu="exact")
+    params, imgs, tgts, mask, valid = _mk(cfg16)
+    args = (params, jnp.asarray(imgs), jnp.asarray(tgts),
+            jnp.asarray(mask), jnp.asarray(valid))
+    l_t, p_t, _ = m.forward(args[0], cfg16, *args[1:])
+    l_e, p_e, _ = m.forward(args[0], cfg16_exact, *args[1:])
+    # bf16 compute noise level for this tiny model is ~1e-2; the gelu
+    # flavor must not add to it
+    np.testing.assert_allclose(np.asarray(p_t), np.asarray(p_e), atol=2e-2)
+    np.testing.assert_allclose(float(l_t), float(l_e), atol=2e-3)
