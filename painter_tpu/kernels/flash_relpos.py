@@ -57,7 +57,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from painter_tpu.ops.pos_embed import get_rel_pos
 
-DEFAULT_BLOCK_Q = 392
 LOG2E = math.log2(math.e)
 MXU_LANES = 128
 
@@ -407,9 +406,9 @@ _flash_core.defvjp(_flash_fwd, _flash_bwd)
 def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
                            q_size: Tuple[int, int], k_size: Tuple[int, int],
                            scale: float,
-                           block_q: int = DEFAULT_BLOCK_Q,
-                           rw_tile: bool = False,
-                           num_sub: int = 2,
+                           block_q: int = None,
+                           rw_tile: bool = None,
+                           num_sub: int = None,
                            interpret_fallback: bool = True):
     """Fused attention with decomposed rel-pos bias (differentiable).
 
@@ -421,8 +420,20 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
     term with a VPU lane-tile instead of a one-hot matmul (requires the
     h axis folded); ``num_sub`` interleaved query sub-tiles per block
     overlap VPU softmax with MXU matmuls.
+
+    Defaults are the measured v5e optimum at the 56x28 flagship grid
+    (sweep 2026-08-16: bq784/sub4/rw_tile 2.52 ms vs bq392/sub2 2.81 ms
+    at b8x16 heads): block_q 784 (392 for short L), rw_tile whenever the
+    h axis is the folded one, num_sub 4 with rw_tile else 2.
     """
     del interpret_fallback  # auto-detected per backend
+    lq = q.shape[2]
+    if rw_tile is None:
+        rw_tile = _fold_axis(q.shape[3], tuple(k_size)) == "h"
+    if num_sub is None:
+        num_sub = 4 if rw_tile else 2
+    if block_q is None:
+        block_q = 784 if lq >= 784 else max(8, (lq + 7) // 8 * 8)
     return _flash_core(q, k, v, rel_pos_h, rel_pos_w, tuple(q_size),
                        tuple(k_size), float(scale), int(block_q),
                        bool(rw_tile), int(num_sub))

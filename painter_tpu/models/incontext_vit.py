@@ -44,6 +44,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from painter_tpu.configs import IMAGENET_MEAN, IMAGENET_STD, ModelConfig
 from painter_tpu.ops.attention import attention
@@ -291,6 +292,10 @@ def block_apply(bp: Params, x: jnp.ndarray, cfg: ModelConfig, *,
                     impl=attn_impl)
     if window_size > 0:
         att = window_unpartition(att, window_size, pad_hw, (h, w))
+    # named checkpoint: the 'save_attn' remat policy keeps this tensor so
+    # the backward's recompute skips the whole attention op (the VPU-bound
+    # softmax kernel) and re-runs only LN + gemms + MLP
+    att = checkpoint_name(att, "attn_out")
 
     if ensemble_groups:
         att = _feature_ensemble(att, ensemble_groups, ensemble_weights)
@@ -340,6 +345,7 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                     rng: Optional[jax.Array] = None,
                     attn_impl: str = "xla",
                     remat: bool = False,
+                    remat_policy: Optional[str] = None,
                     act_constraint=None,
                     ensemble_weights: Optional[jnp.ndarray] = None,
                     ) -> List[jnp.ndarray]:
@@ -398,7 +404,15 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                                ensemble_groups=groups,
                                ensemble_weights=ensemble_weights,
                                train=train, rng=key, attn_impl=attn_impl)
-        return jax.checkpoint(fn) if remat else fn
+        if not remat:
+            return fn
+        if remat_policy == "save_attn":
+            # keep each block's attention output (+25 MB/block at ViT-L
+            # b8) so recompute re-runs only LN/gemms/MLP, not the kernel
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_out")
+            return jax.checkpoint(fn, policy=policy)
+        return jax.checkpoint(fn)
 
     def step_rng(i):
         return None if rng is None else jax.random.fold_in(rng, i)
@@ -555,7 +569,8 @@ def forward(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
             seg_type: Optional[jnp.ndarray] = None,
             merge_between_batch: int = -1, train: bool = False,
             rng: Optional[jax.Array] = None, attn_impl: str = "xla",
-            remat: bool = False, act_constraint=None):
+            remat: bool = False, remat_policy: Optional[str] = None,
+            act_constraint=None):
     """Full forward. Returns (loss, patchified pred, bool_masked_pos),
 
     mirroring ``models_painter.py:464-472`` (NHWC in/out)."""
@@ -572,7 +587,8 @@ def forward(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                             seg_type=seg_type,
                             merge_between_batch=merge_between_batch,
                             train=train, rng=rng, attn_impl=attn_impl,
-                            remat=remat, act_constraint=act_constraint)
+                            remat=remat, remat_policy=remat_policy,
+                            act_constraint=act_constraint)
     pred = forward_decoder(params, cfg, feats)
     loss = forward_loss(cfg, pred, tgts, bool_masked_pos, valid)
     return loss, patchify(pred.astype(jnp.float32), cfg.patch_size), \

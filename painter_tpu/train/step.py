@@ -29,7 +29,7 @@ def init_train_state(params: Any,
 
 def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
                     accum_iter: int = 1, remat: bool = True,
-                    attn_impl: str = "xla", mesh=None):
+                    remat_policy=None, attn_impl: str = "xla", mesh=None):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     batch: dict with 'imgs', 'tgts' (B, H, W, 3), 'mask' (B, L),
@@ -50,8 +50,8 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
         loss, _, _ = model_lib.forward(
             params, cfg, micro["imgs"], micro["tgts"], micro["mask"],
             micro["valid"], seg_type=micro.get("seg_type"),
-            train=True, rng=rng, remat=remat, attn_impl=attn_impl,
-            act_constraint=act_constraint)
+            train=True, rng=rng, remat=remat, remat_policy=remat_policy,
+            attn_impl=attn_impl, act_constraint=act_constraint)
         return loss
 
     grad_fn = jax.value_and_grad(loss_fn)

@@ -67,6 +67,11 @@ def get_args_parser():
                    default=True,
                    help="activation checkpointing (--no-remat is ~9%% "
                         "faster at per-chip batch 2 and fits in 16G)")
+    p.add_argument("--remat_policy", default="save_attn",
+                   choices=["full", "save_attn"],
+                   help="'save_attn' keeps each block's attention output "
+                        "(+25 MB/block at b8) so the backward recompute "
+                        "skips the attention kernel")
     p.add_argument("--attn_impl", default=None,
                    help="xla | pallas (default: pallas on TPU)")
     p.add_argument("--max_steps_per_epoch", default=-1, type=int,
@@ -182,9 +187,11 @@ def main(args):
     attn_impl = args.attn_impl or (
         "pallas" if devices[0].platform == "tpu" else "xla")
     train_step = jax.jit(
-        step_lib.make_train_step(cfg, optimizer, accum_iter=args.accum_iter,
-                                 remat=args.remat, attn_impl=attn_impl,
-                                 mesh=mesh),
+        step_lib.make_train_step(
+            cfg, optimizer, accum_iter=args.accum_iter, remat=args.remat,
+            remat_policy=None if args.remat_policy == "full"
+            else args.remat_policy,
+            attn_impl=attn_impl, mesh=mesh),
         donate_argnums=(0,))
     eval_step = jax.jit(step_lib.make_eval_step(cfg))
 

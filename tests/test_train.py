@@ -124,6 +124,32 @@ def test_accum_matches_big_batch_grads():
                                    atol=1e-5, err_msg=k)
 
 
+def test_remat_save_attn_policy_grad_equivalence():
+    """remat with the save_attn policy computes the same grads as
+    no-remat and full remat (policy changes memory, never math)."""
+    cfg = configs.tiny_test_config(drop_path_rate=0.0)
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    oc = optim.OptimConfig(lr=1e-3, warmup_epochs=0, epochs=1,
+                           steps_per_epoch=1, clip_grad=None)
+    optimizer = optim.make_optimizer(params, cfg, oc)
+    batch = _toy_batch(cfg, 1, 4)
+    outs = []
+    for kw in ({"remat": False}, {"remat": True},
+               {"remat": True, "remat_policy": "save_attn"}):
+        s = step_lib.init_train_state(params, optimizer)
+        step = jax.jit(step_lib.make_train_step(cfg, optimizer,
+                                                accum_iter=1, **kw))
+        s, mt = step(s, batch, jax.random.PRNGKey(0))
+        outs.append((float(mt["loss"]), _flat(s["params"])))
+    for loss, flat in outs[1:]:
+        np.testing.assert_allclose(loss, outs[0][0], rtol=1e-6)
+        for k in flat:
+            # fp32 reassociation across remat fusions: ~1e-6-level noise
+            np.testing.assert_allclose(np.asarray(flat[k]),
+                                       np.asarray(outs[0][1][k]),
+                                       atol=1e-5, err_msg=k)
+
+
 def test_sharded_train_step_on_mesh():
     """dp=4 x fsdp=2 mesh on 8 virtual CPU devices (SURVEY.md §4)."""
     assert len(jax.devices()) == 8
