@@ -30,8 +30,19 @@ Design for this model's regime (L = 1568..2450 tokens, head_dim 64):
   computed outside the kernel on (L, head_dim) arrays instead of the
   (block_q, L) ``dp*p`` reduction.
 - Softmax in fp32 with ``exp2``: all logit terms are pre-scaled by
-  log2(e), so the VPU evaluates ``exp2(s - max)`` directly (exp is
+  log2(e), so the VPU evaluates ``exp2`` directly (exp is
   exp2(x*log2e) in hardware; pre-scaling removes the extra multiply).
+- **No running max**: because probabilities are ratios, any fixed shift
+  leaves the softmax exact, and fp32's exponent range (2^±126) dwarfs
+  trained-ViT logit magnitudes (O(30) in the exp2 domain). The forward
+  therefore skips the max pass and its subtract — two of the ~six VPU
+  passes per logit on a VPU-bound kernel — evaluating
+  ``exp2(min(s, 114))`` directly; the clamp (margin: 126 - log2(L_max))
+  makes overflow impossible and only engages for logits > 79 nats,
+  where fp32 ``exp`` itself is about to overflow anyway. The saved
+  ``lse = log2(rowsum)`` keeps the backward's single-``exp2``-pass
+  recompute exact. ``max_mode="exact"`` restores the classic guarded
+  softmax for out-of-distribution logit ranges.
 - Each query block is processed as two interleaved sub-tiles so the
   scheduler can overlap one sub-tile's softmax (VPU) with the other's
   QK / PV matmuls (MXU).
@@ -59,6 +70,9 @@ from painter_tpu.ops.pos_embed import get_rel_pos
 
 LOG2E = math.log2(math.e)
 MXU_LANES = 128
+# fixed-max softmax overflow guard: exp2 arguments are clamped here so the
+# (L <= 4096)-term denominator sum stays below fp32 inf (126 - log2(4096))
+EXP2_CLAMP = 114.0
 
 
 def _subtiles(block_q: int, num_sub: int):
@@ -136,7 +150,8 @@ def _row_mask(i, block_q, sz, lq, off=0):
     return rows < lq
 
 
-def _make_fwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int):
+def _make_fwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
+                     max_mode: str):
     def _attn_fwd_kernel(qf_ref, kf_ref, vf_ref, rx_ref, ex_ref, o_ref,
                          lse_ref):
         kf = kf_ref[0]
@@ -149,8 +164,14 @@ def _make_fwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int):
                       rx_ref[0, pl.ds(off, sz)], ex_ref[:], reps, rw_tile)
               for off, sz in tiles]
         for (off, sz), s in zip(tiles, ss):
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp2(s - m).astype(vf.dtype)
+            if max_mode == "fixed":
+                # fixed-max softmax: skip the per-row max pass (see
+                # module docstring); the clamp only guards overflow
+                e = jnp.exp2(jnp.minimum(s, EXP2_CLAMP)).astype(vf.dtype)
+                m = None
+            else:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp2(s - m).astype(vf.dtype)
             # vf's appended ones-column makes ov[:, hd] the row sum of e:
             # the softmax denominator is free MXU work in the padded
             # output lanes
@@ -159,7 +180,8 @@ def _make_fwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int):
             o_ref[0, pl.ds(off, sz)] = (
                 ov[:, :hd] * pl.reciprocal(denom, approx=False)).astype(
                 o_ref.dtype)
-            lse_ref[0, pl.ds(off, sz)] = m + jnp.log2(denom)
+            lse = jnp.log2(denom)
+            lse_ref[0, pl.ds(off, sz)] = lse if m is None else m + lse
     return _attn_fwd_kernel
 
 
@@ -214,14 +236,14 @@ def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int):
 
 
 def _fwd_impl(qf, kf, vf, rx, ex, hd, reps, rw_tile, block_q, num_sub,
-              interpret):
+              max_mode, interpret):
     bn, lq, hdf = qf.shape
     lk = kf.shape[1]
     k_x = ex.shape[0]
     grid = (bn, pl.cdiv(lq, block_q))
     kw = {} if not interpret else {"interpret": True}
     return pl.pallas_call(
-        _make_fwd_kernel(hd, reps, rw_tile, num_sub),
+        _make_fwd_kernel(hd, reps, rw_tile, num_sub, max_mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, hdf), lambda b, i: (b, i, 0)),
@@ -347,16 +369,16 @@ def _pack_inputs(q, k, rel_h, rel_w, k_size, scale, rw_tile):
     return qf, kf, rx * beta, ex, fold, reps
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _flash_core(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
-                rw_tile, num_sub):
+                rw_tile, num_sub, max_mode):
     out, _ = _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
-                        rw_tile, num_sub)
+                        rw_tile, num_sub, max_mode)
     return out
 
 
 def _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q, rw_tile,
-               num_sub):
+               num_sub, max_mode):
     b, nh, lq, hd = q.shape
     lk = k.shape[2]
     rel_h, rel_w = _rel_terms(q, rph, rpw, q_size, k_size)
@@ -366,11 +388,12 @@ def _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q, rw_tile,
         [v.reshape(b * nh, lk, hd),
          jnp.ones((b * nh, lk, 1), v.dtype)], axis=-1)
     out, lse = _fwd_impl(qf, kf, vf, rx, ex, hd, reps, rw_tile, block_q,
-                         num_sub, _use_interpret())
+                         num_sub, max_mode, _use_interpret())
     return out.reshape(b, nh, lq, hd), (q, k, v, rph, rpw, out, lse)
 
 
-def _flash_bwd(q_size, k_size, scale, block_q, rw_tile, num_sub, res, g):
+def _flash_bwd(q_size, k_size, scale, block_q, rw_tile, num_sub, max_mode,
+               res, g):
     q, k, v, rph, rpw, out, lse = res
     b, nh, lq, hd = q.shape
     lk = k.shape[2]
@@ -409,6 +432,7 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
                            block_q: int = None,
                            rw_tile: bool = None,
                            num_sub: int = None,
+                           max_mode: str = "fixed",
                            interpret_fallback: bool = True):
     """Fused attention with decomposed rel-pos bias (differentiable).
 
@@ -425,6 +449,10 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
     (sweep 2026-08-16: bq784/sub4/rw_tile 2.52 ms vs bq392/sub2 2.81 ms
     at b8x16 heads): block_q 784 (392 for short L), rw_tile whenever the
     h axis is the folded one, num_sub 4 with rw_tile else 2.
+
+    ``max_mode="fixed"`` (default) skips the forward's per-row max pass
+    — exact for |logits| <= 79 nats (see module docstring); "exact"
+    restores the guarded softmax.
     """
     del interpret_fallback  # auto-detected per backend
     lq = q.shape[2]
@@ -434,6 +462,8 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
         num_sub = 4 if rw_tile else 2
     if block_q is None:
         block_q = 784 if lq >= 784 else max(8, (lq + 7) // 8 * 8)
+    if max_mode not in ("fixed", "exact"):
+        raise ValueError(max_mode)
     return _flash_core(q, k, v, rel_pos_h, rel_pos_w, tuple(q_size),
                        tuple(k_size), float(scale), int(block_q),
-                       bool(rw_tile), int(num_sub))
+                       bool(rw_tile), int(num_sub), str(max_mode))

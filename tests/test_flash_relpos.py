@@ -114,3 +114,50 @@ def test_flash_relpos_gradients_match_xla(block_q, rw_tile):
     for name, a, b_ in zip("q k v rph rpw".split(), g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("max_mode", ["fixed", "exact"])
+def test_flash_relpos_max_modes_match(max_mode):
+    """Fixed-max softmax (no per-row max pass) is exact for bounded
+    logits; both modes must match the XLA reference, including with a
+    large uniform logit offset that the fixed mode absorbs unshifted."""
+    b, nh, qh, qw, hd = 1, 2, 8, 4, 16
+    L = qh * qw
+    q = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    k = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    # push logits to ~±25 nats via a shared direction: well inside the
+    # documented |logit| <= 79-nat validity envelope
+    q = q.at[..., 0].add(5.0)
+    k = k.at[..., 0].add(5.0 * hd ** 0.5)
+    v = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    rph = jnp.asarray(RNG.randn(2 * qh - 1, hd), jnp.float32)
+    rpw = jnp.asarray(RNG.randn(2 * qw - 1, hd), jnp.float32)
+    scale = hd ** -0.5
+    ref = _xla_ref(q, k, v, rph, rpw, (qh, qw), scale)
+    got = flash_attention_relpos(q, k, v, rph, rpw, (qh, qw), (qh, qw),
+                                 scale, max_mode=max_mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_flash_relpos_fixed_max_gradients():
+    b, nh, qh, qw, hd = 1, 2, 6, 4, 16
+    L = qh * qw
+    q = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    k = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    v = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    rph = jnp.asarray(RNG.randn(2 * qh - 1, hd), jnp.float32)
+    rpw = jnp.asarray(RNG.randn(2 * qw - 1, hd), jnp.float32)
+    scale = hd ** -0.5
+
+    def loss(mode):
+        def f(q_, k_, v_, rph_, rpw_):
+            return jnp.sum(flash_attention_relpos(
+                q_, k_, v_, rph_, rpw_, (qh, qw), (qh, qw), scale,
+                max_mode=mode) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(q, k, v, rph, rpw)
+
+    # the two modes differ only in fp32 rounding of the saved lse
+    for gf, ge, name in zip(loss("fixed"), loss("exact"),
+                            ["dq", "dk", "dv", "drph", "drpw"]):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(ge),
+                                   atol=1e-4, err_msg=name)
