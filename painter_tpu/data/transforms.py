@@ -157,26 +157,37 @@ class PairColorJitter:
         self.hue = hue
         self.p = p
 
+    def _draw_factors(self, rng):
+        """(order, factors): one factor per slot, NaN = skip. The rng
+        draw sequence is identical between the native and numpy paths,
+        so a seeded pipeline reproduces across backends."""
+        order = rng.permutation(4)
+        strengths = (self.brightness, self.contrast, self.saturation)
+        factors = []
+        for fn_id in order:
+            if fn_id < 3 and strengths[fn_id]:
+                s = strengths[fn_id]
+                factors.append(rng.uniform(max(0, 1 - s), 1 + s))
+            elif fn_id == 3 and self.hue:
+                factors.append(rng.uniform(-self.hue, self.hue))
+            else:
+                factors.append(np.nan)
+        return order, np.asarray(factors, np.float32)
+
     def __call__(self, img, tgt, rng, interp1=None, interp2=None):
         if rng.random() >= self.p:
             return img, tgt
         arr = np.asarray(img, np.float32) / 255.0
-        order = rng.permutation(4)
-        for fn_id in order:
-            if fn_id == 0 and self.brightness:
-                arr = adjust_brightness(
-                    arr, rng.uniform(max(0, 1 - self.brightness),
-                                     1 + self.brightness))
-            elif fn_id == 1 and self.contrast:
-                arr = adjust_contrast(
-                    arr, rng.uniform(max(0, 1 - self.contrast),
-                                     1 + self.contrast))
-            elif fn_id == 2 and self.saturation:
-                arr = adjust_saturation(
-                    arr, rng.uniform(max(0, 1 - self.saturation),
-                                     1 + self.saturation))
-            elif fn_id == 3 and self.hue:
-                arr = adjust_hue(arr, rng.uniform(-self.hue, self.hue))
+        order, factors = self._draw_factors(rng)
+        from painter_tpu import native
+        if native.available():
+            arr = native.color_jitter_inplace(arr, order, factors)
+        else:
+            fns = (adjust_brightness, adjust_contrast, adjust_saturation,
+                   adjust_hue)
+            for fn_id, f in zip(order, factors):
+                if not np.isnan(f):
+                    arr = fns[fn_id](arr, float(f))
         img = Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8))
         return img, tgt
 
@@ -249,10 +260,18 @@ class PairToArrayNormalize:
     def __call__(self, img, tgt, rng=None, interp1=None, interp2=None):
         mean = np.asarray(IMAGENET_MEAN, np.float32)
         std = np.asarray(IMAGENET_STD, np.float32)
+        from painter_tpu import native
+        use_native = native.available()
 
         def conv(x):
             if isinstance(x, Image.Image):
-                x = np.asarray(x, np.float32) / 255.0
+                x = np.asarray(x)  # uint8: native path has a LUT
+                if not use_native:
+                    x = x.astype(np.float32) / 255.0
+            if use_native and x.ndim == 3 and x.shape[-1] == 3:
+                return native.normalize(x, mean, std)
+            if x.dtype == np.uint8:
+                x = x.astype(np.float32) / 255.0
             return (x - mean) / std
         return conv(img), conv(tgt)
 
@@ -299,8 +318,14 @@ def seccrop_transform(input_size: Tuple[int, int],
 
 
 def _np_resize2d(x: np.ndarray, out_hw, mode: str) -> np.ndarray:
-    """Host-side torch-exact resize (numpy matmuls with the cached weight
-    matrices; the data pipeline must never round-trip the device)."""
+    """Host-side torch-exact resize (the data pipeline must never
+    round-trip the device). Native path: separable *banded* C++ kernel —
+    4 taps/output for cubic instead of a dense gemm over the full crop
+    axis (the dense matmuls measured 77 ms per stitched 896x448 seccrop
+    sample; the band is the same nonzeros, ~20x fewer FLOPs)."""
+    from painter_tpu import native
+    if native.available() and x.ndim == 3:
+        return native.resize_hwc(x, out_hw, mode)
     from painter_tpu.ops.resample import nearest_indices, resize_weights
     h, w = x.shape[:2]
     if mode == "nearest":
