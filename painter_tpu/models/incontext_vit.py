@@ -490,8 +490,15 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def forward_decoder(params: Params, cfg: ModelConfig,
-                    feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """4 tapped features -> painted prediction (B, H, W, 3)."""
+                    feats: Sequence[jnp.ndarray],
+                    decoder_impl: str = "xla") -> jnp.ndarray:
+    """4 tapped features -> painted prediction (B, H, W, 3).
+
+    decoder_impl "fused" runs the post-shuffle tail (conv3x3, LN, GELU,
+    conv1x1) in one Pallas kernel
+    (:mod:`painter_tpu.kernels.decoder_head`) — the full-decode
+    training path's measured hot spot; "xla" is the plain lowering.
+    """
     x = jnp.concatenate(list(feats), axis=-1)  # (B, Hp, Wp, 4C)
     dtype = x.dtype
     de = params["decoder_embed"]
@@ -499,11 +506,19 @@ def forward_decoder(params: Params, cfg: ModelConfig,
     b, h, w, _ = x.shape
     p = cfg.patch_size
     dec = cfg.decoder_embed_dim
+    dp = params["decoder_pred"]
     # pixel shuffle: (B, h, w, p*p*dec) -> (B, h*p, w*p, dec)
     x = x.reshape(b, h, w, p, p, dec)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * p, w * p, dec)
+    if decoder_impl == "fused":
+        from painter_tpu.kernels.decoder_head import fused_decoder_tail
+        return fused_decoder_tail(
+            x, dp["conv1"]["kernel"], dp["conv1"]["bias"],
+            dp["ln"]["scale"], dp["ln"]["bias"], dp["conv2"]["kernel"],
+            dp["conv2"]["bias"], cfg.gelu_approximate)
+    if decoder_impl != "xla":
+        raise ValueError(decoder_impl)
 
-    dp = params["decoder_pred"]
     x = jax.lax.conv_general_dilated(
         x, dp["conv1"]["kernel"].astype(dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + dp["conv1"]["bias"].astype(dtype)
@@ -570,7 +585,7 @@ def forward(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
             merge_between_batch: int = -1, train: bool = False,
             rng: Optional[jax.Array] = None, attn_impl: str = "xla",
             remat: bool = False, remat_policy: Optional[str] = None,
-            act_constraint=None):
+            act_constraint=None, decoder_impl: str = "xla"):
     """Full forward. Returns (loss, patchified pred, bool_masked_pos),
 
     mirroring ``models_painter.py:464-472`` (NHWC in/out)."""
@@ -589,7 +604,7 @@ def forward(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                             train=train, rng=rng, attn_impl=attn_impl,
                             remat=remat, remat_policy=remat_policy,
                             act_constraint=act_constraint)
-    pred = forward_decoder(params, cfg, feats)
+    pred = forward_decoder(params, cfg, feats, decoder_impl=decoder_impl)
     loss = forward_loss(cfg, pred, tgts, bool_masked_pos, valid)
     return loss, patchify(pred.astype(jnp.float32), cfg.patch_size), \
         bool_masked_pos

@@ -29,13 +29,21 @@ def init_train_state(params: Any,
 
 def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
                     accum_iter: int = 1, remat: bool = True,
-                    remat_policy=None, attn_impl: str = "xla", mesh=None):
+                    remat_policy=None, attn_impl: str = "xla", mesh=None,
+                    decoder_impl: str = "auto"):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     batch: dict with 'imgs', 'tgts' (B, H, W, 3), 'mask' (B, L),
     'valid' (B, H, W, 3), optional 'seg_type' (B, 1). With accum_iter > 1
     every leaf carries a leading (accum_iter,) microbatch axis.
+    decoder_impl "auto" resolves to "xla": the fused Pallas decoder tail
+    (kernels/decoder_head.py) is implemented and parity-tested but
+    measured on-par with XLA's own lowering at the B=8 ViT-L shape on
+    v5e (both are layout/DMA-bound, not FLOP-bound), so the plain path
+    stays the default; "fused" selects the kernel explicitly.
     """
+    if decoder_impl == "auto":
+        decoder_impl = "xla"
 
     act_constraint = None
     if mesh is not None:
@@ -51,7 +59,8 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
             params, cfg, micro["imgs"], micro["tgts"], micro["mask"],
             micro["valid"], seg_type=micro.get("seg_type"),
             train=True, rng=rng, remat=remat, remat_policy=remat_policy,
-            attn_impl=attn_impl, act_constraint=act_constraint)
+            attn_impl=attn_impl, act_constraint=act_constraint,
+            decoder_impl=decoder_impl)
         return loss
 
     grad_fn = jax.value_and_grad(loss_fn)

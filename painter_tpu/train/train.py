@@ -74,6 +74,10 @@ def get_args_parser():
                         "skips the attention kernel")
     p.add_argument("--attn_impl", default=None,
                    help="xla | pallas (default: pallas on TPU)")
+    p.add_argument("--decoder_impl", default="auto",
+                   choices=["auto", "xla", "fused"],
+                   help="'fused' = Pallas decoder-head kernel for the "
+                        "full decode ('auto': fused iff attn is pallas)")
     p.add_argument("--max_steps_per_epoch", default=-1, type=int,
                    help="truncate epochs (smoke tests)")
     p.add_argument("--watchdog_freq", default=10, type=int,
@@ -191,7 +195,8 @@ def main(args):
             cfg, optimizer, accum_iter=args.accum_iter, remat=args.remat,
             remat_policy=None if args.remat_policy == "full"
             else args.remat_policy,
-            attn_impl=attn_impl, mesh=mesh),
+            attn_impl=attn_impl, mesh=mesh,
+            decoder_impl=args.decoder_impl),
         donate_argnums=(0,))
     eval_step = jax.jit(step_lib.make_eval_step(cfg))
 
