@@ -97,6 +97,33 @@ def semantic_from_panoptic(panoptic_png: np.ndarray,
     return out
 
 
+def semantic_from_panoptic_dir(panoptic_json: str, panoptic_root: str,
+                               out_dir: str,
+                               max_images: int = -1) -> List[str]:
+    """COCO panoptic annotations -> per-image 133-class semantic PNGs.
+
+    The directory-driver role of the reference's
+    ``data/prepare_coco_semantic_annos_from_panoptic_annos.py`` for the
+    *painting* task: every category (things and stuff) maps to its
+    contiguous index in the panoptic ``categories`` list (the
+    detectron2 ``COCO_CATEGORIES`` order the 133-color palette
+    assumes); unlabeled pixels stay 255.
+    """
+    with open(panoptic_json) as f:
+        pan = json.load(f)
+    cat_map = {c["id"]: i for i, c in enumerate(pan["categories"])}
+    os.makedirs(out_dir, exist_ok=True)
+    outs = []
+    for ann in pan["annotations"][:max_images if max_images > 0 else None]:
+        png = np.asarray(Image.open(
+            os.path.join(panoptic_root, ann["file_name"])).convert("RGB"))
+        sem = semantic_from_panoptic(png, ann["segments_info"], cat_map)
+        out = os.path.join(out_dir, ann["file_name"])
+        Image.fromarray(sem.astype(np.uint8)).save(out)
+        outs.append(out)
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # instance painting (mass-center position code)
 # ---------------------------------------------------------------------------
@@ -451,6 +478,27 @@ def main():
     s.add_argument("--max_anns", type=int, default=-1)
     s.add_argument("--val", action="store_true")
 
+    s = sub.add_parser("semantic-from-panoptic",
+                       help="COCO panoptic annos -> 133-class semantic "
+                            "PNGs (prepare_coco_semantic_annos role)")
+    s.add_argument("--panoptic_json", required=True)
+    s.add_argument("--panoptic_root", required=True)
+    s.add_argument("--out_dir", required=True)
+    s.add_argument("--max_images", type=int, default=-1)
+
+    s = sub.add_parser("pose-eval-crops",
+                       help="offline pose test set: person (+flip) crops "
+                            "from detection boxes + meta.json "
+                            "(coco_256x192_test_offline.py:103-109 role)")
+    s.add_argument("--image_dir", required=True)
+    s.add_argument("--det_json", required=True,
+                   help="COCO_val2017_detections_AP_H_56_person.json")
+    s.add_argument("--coco_images_json", required=True,
+                   help="person_keypoints_val2017.json (for file names)")
+    s.add_argument("--out_dir", required=True)
+    s.add_argument("--det_bbox_thr", type=float, default=0.0)
+    s.add_argument("--no_flip", action="store_true")
+
     s = sub.add_parser("extract-nyu-mat",
                        help="NYUv2 labeled .mat -> rgb/sync_depth files")
     s.add_argument("--h5_path", required=True)
@@ -493,6 +541,17 @@ def main():
             rot_factor=args.rot_factor, scale_factor=args.scale_factor,
             seed=args.seed, max_anns=args.max_anns, val=args.val)
         print(f"pose trainset json: {jp}")
+    elif args.cmd == "semantic-from-panoptic":
+        outs = semantic_from_panoptic_dir(args.panoptic_json,
+                                          args.panoptic_root,
+                                          args.out_dir, args.max_images)
+        print(f"wrote {len(outs)} semantic maps -> {args.out_dir}")
+    elif args.cmd == "pose-eval-crops":
+        meta = make_pose_eval_crops(args.image_dir, args.det_json,
+                                    args.coco_images_json, args.out_dir,
+                                    det_bbox_thr=args.det_bbox_thr,
+                                    with_flip=not args.no_flip)
+        print(f"pose eval meta: {meta}")
     elif args.cmd == "extract-nyu-mat":
         n = extract_nyu_depth_mat(args.h5_path, args.split_mat,
                                   args.out_dir, args.max_images)

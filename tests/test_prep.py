@@ -134,3 +134,29 @@ def test_make_pose_eval_crops(tmp_path):
     assert crop.shape == (256, 192, 3)
     np.testing.assert_array_equal(flip, crop[:, ::-1])
     assert metas[0]["bbox_score"] == 0.9
+
+
+def test_semantic_from_panoptic_dir(tmp_path):
+    import json
+    from PIL import Image
+    pan_root = tmp_path / "pan"
+    pan_root.mkdir()
+    png = np.zeros((8, 8, 3), np.uint8)
+    png[:4] = (1, 0, 0)    # id 1
+    png[4:] = (2, 0, 0)    # id 2
+    Image.fromarray(png).save(pan_root / "000001.png")
+    pan_json = tmp_path / "panoptic.json"
+    pan_json.write_text(json.dumps({
+        "categories": [{"id": 7, "isthing": 1}, {"id": 90, "isthing": 0}],
+        "annotations": [{
+            "file_name": "000001.png",
+            "segments_info": [{"id": 1, "category_id": 90},
+                              {"id": 2, "category_id": 7}],
+        }],
+    }))
+    outs = prep.semantic_from_panoptic_dir(str(pan_json), str(pan_root),
+                                           str(tmp_path / "sem"))
+    assert len(outs) == 1
+    sem = np.asarray(Image.open(outs[0]))
+    # category 90 is contiguous index 1, category 7 index 0
+    assert (sem[:4] == 1).all() and (sem[4:] == 0).all()
