@@ -56,6 +56,15 @@ def get_args_parser():
     p.add_argument("--shard", type=int, default=0)
     p.add_argument("--dist_type", default="abs")
     p.add_argument("--max_images", type=int, default=-1)
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="queries per device batch in phase 1 (batched "
+                        "independent-query path; 1 = the reference's "
+                        "per-image loop)")
+    p.add_argument("--n_dp", type=int, default=1,
+                   help=">1: shard the query batch over a dp mesh of "
+                        "that many local devices (single-process "
+                        "multi-chip eval; combine with --num_shards "
+                        "for multi-host)")
     p.add_argument("--skip_metrics", action="store_true")
     p.add_argument("--decode_only", action="store_true",
                    help="phase 2 only: score existing painted PNGs in "
@@ -79,6 +88,7 @@ TASK_TO_ENGINE_SPEC = {
 
 def build_model(args):
     import jax
+    import numpy as np
     from painter_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     from painter_tpu import configs
@@ -96,7 +106,15 @@ def build_model(args):
     init = model_lib.init_params(jax.random.PRNGKey(0), cfg)
     params = (ckpt_lib.load_torch_params(args.ckpt_path, cfg, init=init)
               if args.ckpt_path else init)
-    return InContextModel(cfg, params)
+    mesh = None
+    if getattr(args, "n_dp", 1) > 1:
+        from jax.sharding import Mesh
+        devs = jax.devices()[:args.n_dp]
+        if len(devs) < args.n_dp:
+            raise SystemExit(f"--n_dp {args.n_dp} > {len(jax.devices())} "
+                             "local devices")
+        mesh = Mesh(np.asarray(devs), ("dp",))
+    return InContextModel(cfg, params, mesh=mesh)
 
 
 def _load_depth_target(path: str, res: int):
@@ -140,31 +158,48 @@ def paint_predictions(args, model) -> list:
         tgt2 = _load_rgb(args.prompt_target, res, nearest=nearest_tgt)
 
     outputs = []
-    for path in files:
-        image = Image.open(path).convert("RGB")
-        size = image.size
-        query = np.array(image.resize((res, res))) / 255.0
-        imgs, tgts = build_prompt_batch(query, [(img2, tgt2)])
-        out = model.run_one_image(imgs, tgts)
-        out = scale_and_resize(out, size, spec)
-        base = os.path.splitext(os.path.basename(path))[0] + ".png"
-        out_path = os.path.join(args.output_dir, base)
-        if args.task == "depth":
-            # x1000 mm uint16 png (painter_inference_depth.py:69-74 via
-            # x10000 scale then /1000 at eval -> store int directly)
-            Image.fromarray(out.astype(np.int32), mode="I").save(out_path)
-        elif spec.out_scale == 1.0:
-            Image.fromarray(
-                (np.clip(out, 0, 1) * 255).astype(np.uint8)).save(out_path)
-            if args.task == "sidd":
-                # reference also emits Idenoised .mat blocks
-                # (painter_inference_sidd.py:169)
-                from scipy.io import savemat
-                savemat(out_path.replace(".png", ".mat"),
-                        {"Idenoised_crop": np.clip(out, 0, 1)})
+    bs = max(1, args.batch_size)
+    for i0 in range(0, len(files), bs):
+        chunk = files[i0:i0 + bs]
+        queries, sizes = [], []
+        for path in chunk:
+            image = Image.open(path).convert("RGB")
+            sizes.append(image.size)
+            queries.append(np.array(image.resize((res, res))) / 255.0)
+        if len(chunk) == 1 and model.mesh is None:
+            imgs, tgts = build_prompt_batch(queries[0], [(img2, tgt2)])
+            outs = model.run_one_image(imgs, tgts)[None]
         else:
-            Image.fromarray(out.astype(np.uint8)).save(out_path)
-        outputs.append((path, out_path))
+            # batched independent-query path (pad the tail chunk so one
+            # compiled shape serves the whole sweep)
+            from painter_tpu.infer.engine import build_query_batch
+            real = len(queries)
+            while len(queries) < bs:
+                queries.append(queries[0])
+            imgs, tgts = build_query_batch(queries, img2, tgt2)
+            outs = model.run_queries(imgs, tgts, real_count=real)
+        for path, size, out in zip(chunk, sizes, outs):
+            out = scale_and_resize(out, size, spec)
+            base = os.path.splitext(os.path.basename(path))[0] + ".png"
+            out_path = os.path.join(args.output_dir, base)
+            if args.task == "depth":
+                # x1000 mm uint16 png (painter_inference_depth.py:69-74
+                # via x10000 scale then /1000 at eval -> store int)
+                Image.fromarray(out.astype(np.int32),
+                                mode="I").save(out_path)
+            elif spec.out_scale == 1.0:
+                Image.fromarray(
+                    (np.clip(out, 0, 1) * 255).astype(
+                        np.uint8)).save(out_path)
+                if args.task == "sidd":
+                    # reference also emits Idenoised .mat blocks
+                    # (painter_inference_sidd.py:169)
+                    from scipy.io import savemat
+                    savemat(out_path.replace(".png", ".mat"),
+                            {"Idenoised_crop": np.clip(out, 0, 1)})
+            else:
+                Image.fromarray(out.astype(np.uint8)).save(out_path)
+            outputs.append((path, out_path))
     return outputs
 
 
@@ -193,14 +228,20 @@ def run_sidd_mat(args, model) -> Optional[dict]:
     tgt2 = _load_rgb(args.prompt_target, res)
     os.makedirs(args.output_dir, exist_ok=True)
 
+    from painter_tpu.infer.engine import build_query_batch
+    bs = max(1, args.batch_size)
     restored = np.zeros_like(noisy)
-    for i in range(n_img):
-        for j in range(n_blk):
-            block = noisy[i, j]
-            query = cv2.resize(block, (res, res))
-            imgs, tgts = build_prompt_batch(query, [(img2, tgt2)])
-            out = model.run_one_image(imgs, tgts)
-            out = scale_and_resize(out, block.shape[1::-1],
+    flat = [(i, j) for i in range(n_img) for j in range(n_blk)]
+    for k0 in range(0, len(flat), bs):
+        chunk = flat[k0:k0 + bs]
+        queries = [cv2.resize(noisy[i, j], (res, res)) for i, j in chunk]
+        real = len(queries)
+        while len(queries) < bs:
+            queries.append(queries[0])
+        imgs, tgts = build_query_batch(queries, img2, tgt2)
+        outs = model.run_queries(imgs, tgts, real_count=real)
+        for (i, j), out in zip(chunk, outs):
+            out = scale_and_resize(out, noisy[i, j].shape[1::-1],
                                    TASK_SPECS["restoration"])
             restored[i, j] = np.clip(out, 0, 1)
     savemat(os.path.join(args.output_dir, "Idenoised.mat"),

@@ -85,7 +85,8 @@ class InContextModel:
     def __init__(self, cfg: ModelConfig, params,
                  attn_impl: Optional[str] = None,
                  seg_type: str = "semantic",
-                 pad_prompts: bool = True):
+                 pad_prompts: bool = True,
+                 mesh=None):
         self.cfg = cfg
         self.params = params
         self.attn_impl = attn_impl or default_attn_impl()
@@ -95,6 +96,11 @@ class InContextModel:
         # samples), so the video engine's growing rolling cache triggers
         # O(log K) compiles instead of one per frame count.
         self.pad_prompts = pad_prompts
+        # Optional device mesh for data-parallel *serving*: run_queries
+        # shards the independent-query batch over the mesh's devices
+        # (XLA inserts no collectives — pure DP — so throughput scales
+        # with chip count; params are replicated). None = single device.
+        self.mesh = mesh
 
         @functools.partial(jax.jit, static_argnames=("merge",))
         def _predict(params, imgs, tgts, mask, seg_type_arr, merge,
@@ -109,6 +115,56 @@ class InContextModel:
             return image_ops.denormalize(out)
 
         self._predict = _predict
+
+        batch_kwargs = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(mesh, P("dp"))
+            rep = NamedSharding(mesh, P())
+            params_s = jax.tree_util.tree_map(lambda _: rep, self.params)
+            batch_kwargs = dict(
+                in_shardings=(params_s, data, data, data, data),
+                out_shardings=data)
+
+        @functools.partial(jax.jit, **batch_kwargs)
+        def _predict_batch(params, imgs, tgts, mask, seg_type_arr):
+            out = model_lib.predict_query_half_batch(
+                params, self.cfg, imgs, tgts, mask,
+                seg_type=seg_type_arr, attn_impl=self.attn_impl)
+            return image_ops.denormalize(out)
+
+        self._predict_batch = _predict_batch
+
+    def run_queries(self, imgs: np.ndarray, tgts: np.ndarray,
+                    real_count: Optional[int] = None) -> np.ndarray:
+        """Batched independent queries (Q, 2R, R, 3) -> (Q, R, R, 3).
+
+        Every sample is its own (prompt, query) pair — the throughput
+        path for eval sweeps and serving. With a ``mesh``, the batch is
+        sharded over the ``dp`` axis (Q must divide evenly; callers pad
+        and pass ``real_count``). Returns de-normalized [0,1]-scale
+        bottom halves for the first ``real_count`` samples.
+        """
+        q = imgs.shape[0]
+        if self.mesh is not None:
+            n_dp = self.mesh.shape["dp"]
+            if q % n_dp:
+                pad = n_dp - q % n_dp
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[:1], pad, axis=0)])
+                tgts = np.concatenate(
+                    [tgts, np.repeat(tgts[:1], pad, axis=0)])
+        n = imgs.shape[0]
+        num_patches = (imgs.shape[1] // self.cfg.patch_size) * \
+                      (imgs.shape[2] // self.cfg.patch_size)
+        mask = image_ops.bottom_half_mask(n, num_patches)
+        st_val = 1 if self.seg_type == "instance" else 0
+        st = jnp.full((n, 1), st_val, jnp.int32) \
+            if self.cfg.seg_type_tokens else None
+        out = self._predict_batch(self.params,
+                                  jnp.asarray(imgs, jnp.float32),
+                                  jnp.asarray(tgts, jnp.float32), mask, st)
+        return np.asarray(out)[:real_count if real_count else q]
 
     def run_one_image(self, img: np.ndarray, tgt: np.ndarray) -> np.ndarray:
         """img/tgt: (N, 2R, R, 3) normalized stitched batch (prompt dim N).
@@ -181,6 +237,19 @@ def build_prompt_batch(query: np.ndarray,
         tgts.append(np.asarray(
             image_ops.normalize(jnp.asarray(tgt, jnp.float32))))
     return np.stack(imgs), np.stack(tgts)
+
+
+def build_query_batch(queries: Sequence[np.ndarray], img2: np.ndarray,
+                      tgt2: np.ndarray):
+    """Independent queries sharing one prompt -> stacked normalized
+    (Q, 2R, R, 3) input/target batches for :meth:`run_queries`."""
+    tgt = np.asarray(image_ops.normalize(jnp.asarray(
+        np.concatenate([tgt2, tgt2], axis=0), jnp.float32)))
+    imgs = [np.asarray(image_ops.normalize(jnp.asarray(
+        np.concatenate([img2, q], axis=0), jnp.float32)))
+        for q in queries]
+    return np.stack(imgs), np.broadcast_to(
+        tgt, (len(imgs),) + tgt.shape).copy()
 
 
 def inference_image(model: InContextModel, img_path: str,

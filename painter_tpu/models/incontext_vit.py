@@ -652,3 +652,27 @@ def predict_query_half(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
     sliced = [f[:1, half - 1:] for f in feats]
     pred = forward_decoder(params, cfg, sliced)
     return pred[0, cfg.patch_size:].astype(jnp.float32)
+
+
+def predict_query_half_batch(params: Params, cfg: ModelConfig,
+                             imgs: jnp.ndarray, tgts: jnp.ndarray,
+                             bool_masked_pos: jnp.ndarray,
+                             seg_type: Optional[jnp.ndarray] = None,
+                             attn_impl: str = "xla") -> jnp.ndarray:
+    """Batched independent queries -> (B, H/2, W, 3) painted halves.
+
+    The serving/eval throughput path: every sample is its own
+    (prompt, query) pair (no cross-sample ensemble — the batched
+    analogue of the reference's per-image ``painter_inference_*``
+    loops), and *all* bottom halves are decoded with the same
+    one-extra-token-row seam trick as :func:`predict_query_half`.
+    """
+    feats = forward_encoder(params, cfg, imgs, tgts,
+                            bool_masked_pos.reshape(imgs.shape[0], -1),
+                            seg_type=seg_type, merge_between_batch=-1,
+                            train=False, attn_impl=attn_impl)
+    gh = feats[0].shape[1]
+    half = gh // 2
+    sliced = [f[:, half - 1:] for f in feats]
+    pred = forward_decoder(params, cfg, sliced)
+    return pred[:, cfg.patch_size:].astype(jnp.float32)

@@ -148,3 +148,37 @@ def test_painter_task_specs(tiny_model, tmp_path):
     s = engine.painter_task_inference(tiny_model, img, p, t,
                                       "ade20k_semseg", res=res)
     assert s.shape == (26, 30, 3) and s.max() <= 255.0
+
+
+def test_run_queries_matches_per_image(tiny_model):
+    """Batched independent queries == the per-image loop."""
+    rng = np.random.RandomState(3)
+    res = tiny_model.cfg.img_size[1]
+    img2 = rng.rand(res, res, 3)
+    tgt2 = rng.rand(res, res, 3)
+    queries = [rng.rand(res, res, 3) for _ in range(3)]
+    imgs, tgts = engine.build_query_batch(queries, img2, tgt2)
+    batched = tiny_model.run_queries(imgs, tgts)
+    for q, got in zip(queries, batched):
+        i1, t1 = engine.build_prompt_batch(q, [(img2, tgt2)])
+        ref = tiny_model.run_one_image(i1, t1)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_run_queries_mesh_sharded(tiny_model):
+    """dp-mesh-sharded serving path == unsharded (pads ragged batches)."""
+    from jax.sharding import Mesh
+    cfg = tiny_model.cfg
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("dp",))
+    sharded = engine.InContextModel(cfg, tiny_model.params,
+                                    attn_impl="xla", mesh=mesh)
+    rng = np.random.RandomState(4)
+    res = cfg.img_size[1]
+    img2 = rng.rand(res, res, 3)
+    tgt2 = rng.rand(res, res, 3)
+    queries = [rng.rand(res, res, 3) for _ in range(6)]  # ragged vs dp=4
+    imgs, tgts = engine.build_query_batch(queries, img2, tgt2)
+    got = sharded.run_queries(imgs, tgts, real_count=6)
+    assert got.shape[0] == 6
+    ref = tiny_model.run_queries(imgs, tgts)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
