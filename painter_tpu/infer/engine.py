@@ -122,6 +122,10 @@ class InContextModel:
             data = NamedSharding(mesh, P("dp"))
             rep = NamedSharding(mesh, P())
             params_s = jax.tree_util.tree_map(lambda _: rep, self.params)
+            # explicit replication onto the serving mesh (params may
+            # arrive sharded on a training mesh; jit will not reshard
+            # across meshes on its own)
+            self.params = jax.device_put(self.params, params_s)
             batch_kwargs = dict(
                 in_shardings=(params_s, data, data, data, data),
                 out_shardings=data)
