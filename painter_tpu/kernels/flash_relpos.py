@@ -446,9 +446,12 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
     overlap VPU softmax with MXU matmuls.
 
     Defaults are the measured v5e optimum at the 56x28 flagship grid
-    (sweep 2026-08-16: bq784/sub4/rw_tile 2.52 ms vs bq392/sub2 2.81 ms
-    at b8x16 heads): block_q 784 (392 for short L), rw_tile whenever the
-    h axis is the folded one, num_sub 4 with rw_tile else 2.
+    (b8 x 16 heads): block_q 784 (392 for short L), rw_tile whenever
+    the h axis is the folded one. num_sub (interleaved query sub-tiles
+    that overlap one tile's softmax with the next tile's matmul) pays
+    only when the softmax still has a max pass: with the fixed-max
+    softmax the 2026-08-17 sweep puts bq784/sub1/rw_tile at 2.272 ms vs
+    sub4's 2.292 (exact-max optimum was bq784/sub4 at 2.52).
 
     ``max_mode="fixed"`` (default) skips the forward's per-row max pass
     — exact for |logits| <= 79 nats (see module docstring); "exact"
@@ -459,7 +462,10 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
     if rw_tile is None:
         rw_tile = _fold_axis(q.shape[3], tuple(k_size)) == "h"
     if num_sub is None:
-        num_sub = 4 if rw_tile else 2
+        if rw_tile:
+            num_sub = 1 if max_mode == "fixed" else 4
+        else:
+            num_sub = 2
     if block_q is None:
         block_q = 784 if lq >= 784 else max(8, (lq + 7) // 8 * 8)
     if max_mode not in ("fixed", "exact"):
