@@ -369,16 +369,17 @@ def _pack_inputs(q, k, rel_h, rel_w, k_size, scale, rw_tile):
     return qf, kf, rx * beta, ex, fold, reps
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def _flash_core(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
-                rw_tile, num_sub, max_mode):
+                rw_tile, num_sub, max_mode, bwd_num_sub):
     out, _ = _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
-                        rw_tile, num_sub, max_mode)
+                        rw_tile, num_sub, max_mode, bwd_num_sub)
     return out
 
 
 def _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q, rw_tile,
-               num_sub, max_mode):
+               num_sub, max_mode, bwd_num_sub):
     b, nh, lq, hd = q.shape
     lk = k.shape[2]
     rel_h, rel_w = _rel_terms(q, rph, rpw, q_size, k_size)
@@ -393,7 +394,7 @@ def _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q, rw_tile,
 
 
 def _flash_bwd(q_size, k_size, scale, block_q, rw_tile, num_sub, max_mode,
-               res, g):
+               bwd_num_sub, res, g):
     q, k, v, rph, rpw, out, lse = res
     b, nh, lq, hd = q.shape
     lk = k.shape[2]
@@ -408,7 +409,7 @@ def _flash_bwd(q_size, k_size, scale, block_q, rw_tile, num_sub, max_mode,
                     * out.astype(jnp.float32), axis=-1, keepdims=True)
     dqf, dk, dv, drx = _bwd_impl(
         qf, kf, v.reshape(b * nh, lk, hd), rx, ex, gs, lse, delta, hd,
-        reps, rw_tile, block_q, num_sub, _use_interpret())
+        reps, rw_tile, block_q, bwd_num_sub, _use_interpret())
     k_fold = k_size[0] if fold == "h" else k_size[1]
     dqs, drf = dqf[..., :hd], dqf[..., hd:hd + k_fold]  # drop lane pad
     drh, drw = (drf, drx) if fold == "h" else (drx, drf)
@@ -433,6 +434,7 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
                            rw_tile: bool = None,
                            num_sub: int = None,
                            max_mode: str = "fixed",
+                           bwd_num_sub: int = None,
                            interpret_fallback: bool = True):
     """Fused attention with decomposed rel-pos bias (differentiable).
 
@@ -466,10 +468,16 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
             num_sub = 1 if max_mode == "fixed" else 4
         else:
             num_sub = 2
+    if bwd_num_sub is None:
+        # the backward's fp32 (sub_q, L) temporaries (p, dp, ds) exceed
+        # the 16 MB scoped-VMEM budget without sub-tiling: sub1 at
+        # bq784 needs 19.6 MB. Keep the tuned sub4 split there.
+        bwd_num_sub = max(num_sub, 4) if rw_tile else max(num_sub, 2)
     if block_q is None:
         block_q = 784 if lq >= 784 else max(8, (lq + 7) // 8 * 8)
     if max_mode not in ("fixed", "exact"):
         raise ValueError(max_mode)
     return _flash_core(q, k, v, rel_pos_h, rel_pos_w, tuple(q_size),
                        tuple(k_size), float(scale), int(block_q),
-                       bool(rw_tile), int(num_sub), str(max_mode))
+                       bool(rw_tile), int(num_sub), str(max_mode),
+                       int(bwd_num_sub))

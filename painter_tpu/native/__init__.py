@@ -41,9 +41,13 @@ def _build() -> str:
         return out
     with tempfile.TemporaryDirectory() as td:
         tmp = os.path.join(td, "image_ops.so")
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-               "-fno-math-errno", _SRC, "-o", tmp]
-        subprocess.run(cmd, check=True, capture_output=True)
+        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                "-fno-math-errno", _SRC, "-o", tmp]
+        try:  # vectorize for the build host; portable fallback
+            subprocess.run(base[:1] + ["-march=native"] + base[1:],
+                           check=True, capture_output=True)
+        except subprocess.CalledProcessError:
+            subprocess.run(base, check=True, capture_output=True)
         os.replace(tmp, out)  # atomic: concurrent builders race safely
     return out
 

@@ -156,3 +156,26 @@ def test_decode_only_mode(synth, tmp_path):
     assert len(outputs) == 3  # both shards' outputs recovered
     metrics = compute_metrics(args, outputs)
     assert np.isfinite(metrics["mIoU"])
+
+
+def test_eval_driver_batched_matches_per_image(synth, tmp_path):
+    """--batch_size 1 (the reference's loop) and the batched default
+    paint identical predictions; --n_dp 2 shards the batch on the
+    virtual device mesh and still matches."""
+    outs = {}
+    for name, extra in (("b1", ["--batch_size", "1"]),
+                        ("b4", ["--batch_size", "4"]),
+                        ("dp", ["--batch_size", "4", "--n_dp", "2"])):
+        args = _args(synth, tmp_path / f"bm_{name}", "ade20k_semseg",
+                     extra=extra)
+        model = build_model(args)
+        outputs = paint_predictions(args, model)
+        assert len(outputs) == 3
+        outs[name] = [np.asarray(Image.open(p)) for _, p in outputs]
+    # sharded/unsharded and batched/unbatched executions may differ by
+    # fp rounding (different fusion/reduce orders) -> one uint8 step
+    for a, b, c in zip(outs["b1"], outs["b4"], outs["dp"]):
+        np.testing.assert_allclose(a.astype(np.int16), b.astype(np.int16),
+                                   atol=1)
+        np.testing.assert_allclose(b.astype(np.int16), c.astype(np.int16),
+                                   atol=1)
