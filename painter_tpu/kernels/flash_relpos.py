@@ -185,7 +185,8 @@ def _make_fwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
     return _attn_fwd_kernel
 
 
-def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int):
+def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
+                     ragged: bool):
     def _attn_bwd_kernel(lq_ref, qf_ref, kf_ref, v_ref, rx_ref, ex_ref,
                          do_ref, lse_ref, delta_ref,
                          dqf_ref, dk_ref, dv_ref, drx_ref):
@@ -202,23 +203,26 @@ def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int):
         for off, sz in _subtiles(block_q, num_sub):
             # zero the ceil-div padding rows up front: OOB block reads
             # are undefined and even one NaN would survive 0*NaN in the
-            # dK/dV sums
-            mask = _row_mask(i, block_q, sz, lq_ref[0], off)
-            qf = jnp.where(mask, qf_ref[0, pl.ds(off, sz)], 0.0).astype(
-                qf_ref.dtype)
-            do = jnp.where(mask, do_ref[0, pl.ds(off, sz)], 0.0).astype(
-                do_ref.dtype)
+            # dK/dV sums. When block_q divides L exactly (the flagship
+            # shapes) there are no padding rows and the masking passes
+            # — including a full (sq, L) select on p — are skipped
+            # statically.
+            mask = _row_mask(i, block_q, sz, lq_ref[0], off) if ragged \
+                else None
+            mz = (lambda x: jnp.where(mask, x, 0.0)) if ragged \
+                else (lambda x: x)
+            qf = mz(qf_ref[0, pl.ds(off, sz)]).astype(qf_ref.dtype)
+            do = mz(do_ref[0, pl.ds(off, sz)]).astype(do_ref.dtype)
             s = _logits(qf, kf, rx_ref[0, pl.ds(off, sz)], ex_ref[:],
                         reps, rw_tile)
             # saved logsumexp -> one exp2 pass, no max/sum recompute;
             # the lse of a padding row could be garbage (even NaN), so
             # re-mask after exp2
-            p = jnp.exp2(s - lse_ref[0, pl.ds(off, sz)])
-            p = jnp.where(mask, p, 0.0)
+            p = mz(jnp.exp2(s - lse_ref[0, pl.ds(off, sz)]))
             dp = _dot(do, v, trans_b=True)                  # (sq, L) fp32
             # delta = rowsum(do*o) precomputed outside on (L, hd) arrays;
             # padding rows' OOB delta must be zeroed (0*NaN survives)
-            delta = jnp.where(mask, delta_ref[0, pl.ds(off, sz)], 0.0)
+            delta = mz(delta_ref[0, pl.ds(off, sz)])
             ds = p * (dp - delta)                           # (sq, L) fp32
             ds_b = ds.astype(qf.dtype)
             p_b = p.astype(qf.dtype)
@@ -305,7 +309,8 @@ def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
         ),
     )
     return pl.pallas_call(
-        _make_bwd_kernel(hd, reps, rw_tile, num_sub),
+        _make_bwd_kernel(hd, reps, rw_tile, num_sub,
+                         ragged=bool(lq % block_q)),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         **kw,
