@@ -313,6 +313,10 @@ def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
                          ragged=bool(lq % block_q)),
         grid_spec=grid_spec,
         out_shape=out_shapes,
+        # Mosaic's default 16 MB scoped-VMEM budget rejects the larger
+        # sub-tilings (sub1 at bq784 wants 19.6 MB); v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         **kw,
     )(lq_arr, qf, kf, vs, rx, ex, g, lse, delta)
 
@@ -474,9 +478,11 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
         else:
             num_sub = 2
     if bwd_num_sub is None:
-        # the backward's fp32 (sub_q, L) temporaries (p, dp, ds) exceed
-        # the 16 MB scoped-VMEM budget without sub-tiling: sub1 at
-        # bq784 needs 19.6 MB. Keep the tuned sub4 split there.
+        # measured (2026-08-17): the unsplit backward wins in isolation
+        # (6.65 ms fwd+bwd vs sub4's 6.87, with the kernel's raised
+        # scoped-VMEM budget) but LOSES ~3% end-to-end in the remat
+        # train step — its 19.6 MB VMEM residency starves the
+        # surrounding pipeline. Keep the sub4 split as the default.
         bwd_num_sub = max(num_sub, 4) if rw_tile else max(num_sub, 2)
     if block_q is None:
         block_q = 784 if lq >= 784 else max(8, (lq + 7) // 8 * 8)
