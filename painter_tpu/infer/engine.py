@@ -18,8 +18,10 @@ Behavioral contract from ``SegGPT/SegGPT_inference/seggpt_engine.py`` and
 
 TPU-native notes: the forward + bottom-half extraction + de-normalization
 run as one jitted function (recompiled per prompt-count bucket); the
-output resize uses torch-exact resampling on device. The dispatcher
-prefers the Pallas fused attention on TPU.
+host side does its own normalize and torch-exact output resize in numpy
+(native C ops when available) so the driver loops never serialize on
+eager per-image device dispatches. The dispatcher prefers the Pallas
+fused attention on TPU.
 """
 from __future__ import annotations
 
@@ -34,7 +36,6 @@ import numpy as np
 from painter_tpu.configs import ModelConfig
 from painter_tpu.models import incontext_vit as model_lib
 from painter_tpu.ops import image as image_ops
-from painter_tpu.ops.resample import resize2d
 
 
 def default_attn_impl() -> str:
@@ -207,15 +208,22 @@ class InContextModel:
 
 def scale_and_resize(output: np.ndarray, size_wh: Tuple[int, int],
                      spec: TaskSpec) -> np.ndarray:
-    """De-normalized bottom half -> task output at the original size."""
-    out = jnp.asarray(output) * spec.out_scale
+    """De-normalized bottom half -> task output at the original size.
+
+    Host-side: the per-image resize is tiny and torch-exact either way
+    (`transforms._np_resize2d` shares `ops/resample`'s weights, with
+    the native banded C kernel when available); an eager device
+    dispatch per output would serialize the eval loop on transfer
+    latency.
+    """
+    from painter_tpu.data.transforms import _np_resize2d
+    out = np.asarray(output, np.float32) * spec.out_scale
     if spec.clip is not None:
-        out = jnp.clip(out, spec.clip[0], spec.clip[1])
-    out = resize2d(out, (size_wh[1], size_wh[0]), spec.resize_mode,
-                   h_axis=0, w_axis=1)
+        out = np.clip(out, spec.clip[0], spec.clip[1])
+    out = _np_resize2d(out, (size_wh[1], size_wh[0]), spec.resize_mode)
     if spec.channel_mean:
         out = out.mean(axis=-1)
-    return np.asarray(out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -229,17 +237,24 @@ def _load_rgb(path: str, res: int, nearest: bool = False) -> np.ndarray:
     return np.array(img) / 255.0
 
 
+def _np_normalize(x: np.ndarray) -> np.ndarray:
+    """Host-side ImageNet normalize (== ops/image.normalize) — eager
+    device dispatches per image would serialize on transfer latency."""
+    from painter_tpu.configs import IMAGENET_MEAN, IMAGENET_STD
+    return ((np.asarray(x, np.float32) - np.asarray(IMAGENET_MEAN,
+                                                    np.float32))
+            / np.asarray(IMAGENET_STD, np.float32))
+
+
 def build_prompt_batch(query: np.ndarray,
                        prompts: Sequence[Tuple[np.ndarray, np.ndarray]]):
     """query (R,R,3) [0,1]; prompts: [(img2, tgt2)] -> normalized batch."""
     imgs, tgts = [], []
     for img2, tgt2 in prompts:
-        img = np.concatenate([img2, query], axis=0)
-        tgt = np.concatenate([tgt2, tgt2], axis=0)
-        imgs.append(np.asarray(
-            image_ops.normalize(jnp.asarray(img, jnp.float32))))
-        tgts.append(np.asarray(
-            image_ops.normalize(jnp.asarray(tgt, jnp.float32))))
+        imgs.append(_np_normalize(
+            np.concatenate([img2, query], axis=0)))
+        tgts.append(_np_normalize(
+            np.concatenate([tgt2, tgt2], axis=0)))
     return np.stack(imgs), np.stack(tgts)
 
 
@@ -247,11 +262,9 @@ def build_query_batch(queries: Sequence[np.ndarray], img2: np.ndarray,
                       tgt2: np.ndarray):
     """Independent queries sharing one prompt -> stacked normalized
     (Q, 2R, R, 3) input/target batches for :meth:`run_queries`."""
-    tgt = np.asarray(image_ops.normalize(jnp.asarray(
-        np.concatenate([tgt2, tgt2], axis=0), jnp.float32)))
-    imgs = [np.asarray(image_ops.normalize(jnp.asarray(
-        np.concatenate([img2, q], axis=0), jnp.float32)))
-        for q in queries]
+    tgt = _np_normalize(np.concatenate([tgt2, tgt2], axis=0))
+    imgs = [_np_normalize(np.concatenate([img2, q], axis=0))
+            for q in queries]
     return np.stack(imgs), np.broadcast_to(
         tgt, (len(imgs),) + tgt.shape).copy()
 
