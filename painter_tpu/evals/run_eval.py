@@ -166,7 +166,10 @@ def paint_predictions(args, model) -> list:
             image = Image.open(path).convert("RGB")
             sizes.append(image.size)
             queries.append(np.array(image.resize((res, res))) / 255.0)
-        if len(chunk) == 1 and model.mesh is None:
+        if bs == 1 and model.mesh is None:
+            # --batch_size 1 = the reference's per-image mode; a ragged
+            # tail chunk must NOT take this path (it would trigger a
+            # second full compile for one image — pad it instead)
             imgs, tgts = build_prompt_batch(queries[0], [(img2, tgt2)])
             outs = model.run_one_image(imgs, tgts)[None]
         else:

@@ -39,10 +39,13 @@ Design for this model's regime (L = 1568..2450 tokens, head_dim 64):
   passes per logit on a VPU-bound kernel — evaluating
   ``exp2(min(s, 114))`` directly; the clamp (margin: 126 - log2(L_max))
   makes overflow impossible and only engages for logits > 79 nats,
-  where fp32 ``exp`` itself is about to overflow anyway. The saved
-  ``lse = log2(rowsum)`` keeps the backward's single-``exp2``-pass
-  recompute exact. ``max_mode="exact"`` restores the classic guarded
-  softmax for out-of-distribution logit ranges.
+  where fp32 ``exp`` itself is about to overflow anyway. On the
+  underflow side, a row whose logits ALL sit below -87 nats would sum
+  to zero; a denominator floor degrades such rows to zero output
+  instead of inf/NaN. Both tails are far outside trained-ViT ranges;
+  ``max_mode="exact"`` restores the classic guarded softmax for
+  out-of-distribution logit ranges. The saved ``lse = log2(rowsum)``
+  keeps the backward's single-``exp2``-pass recompute exact.
 - Each query block is processed as two interleaved sub-tiles so the
   scheduler can overlap one sub-tile's softmax (VPU) with the other's
   QK / PV matmuls (MXU).
@@ -177,6 +180,12 @@ def _make_fwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
             # output lanes
             ov = _dot(e, vf)
             denom = ov[:, hd:hd + 1]
+            if max_mode == "fixed":
+                # all-underflow guard: if every logit in a row sits
+                # below the fp32 exp2 floor (< -87 nats — outside the
+                # documented validity envelope), the unshifted sum is 0;
+                # degrade to a zero output row instead of inf/NaN
+                denom = jnp.maximum(denom, 1e-37)
             o_ref[0, pl.ds(off, sz)] = (
                 ov[:, :hd] * pl.reciprocal(denom, approx=False)).astype(
                 o_ref.dtype)

@@ -20,6 +20,7 @@ import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "image_ops.cpp")
 _LIB = None
+_FAILED = False  # memoize build/load failure: don't re-run g++ per call
 _DISABLED = os.environ.get("PAINTER_TPU_NO_NATIVE", "") == "1"
 _FORCED_OFF = False
 
@@ -32,10 +33,26 @@ def _cache_dir() -> str:
     return d
 
 
+def _host_tag() -> str:
+    """Cache key component for the host ISA: -march=native binaries are
+    not portable, and cache dirs can live on shared filesystems."""
+    import platform
+    bits = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    bits += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(bits.encode()).hexdigest()[:8]
+
+
 def _build() -> str:
     with open(_SRC, "rb") as f:
         src = f.read()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    tag = hashlib.sha256(src).hexdigest()[:16] + "_" + _host_tag()
     out = os.path.join(_cache_dir(), f"image_ops_{tag}.so")
     if os.path.exists(out):
         return out
@@ -53,14 +70,15 @@ def _build() -> str:
 
 
 def _load():
-    global _LIB
-    if _DISABLED or _FORCED_OFF:
+    global _LIB, _FAILED
+    if _DISABLED or _FORCED_OFF or _FAILED:
         return None
     if _LIB is not None:
         return _LIB
     try:
         lib = ctypes.CDLL(_build())
     except Exception:  # no compiler / build failure -> numpy fallback
+        _FAILED = True
         return None
     i64, i32p = ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)
     f32p = ctypes.POINTER(ctypes.c_float)

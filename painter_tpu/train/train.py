@@ -76,8 +76,10 @@ def get_args_parser():
                    help="xla | pallas (default: pallas on TPU)")
     p.add_argument("--decoder_impl", default="auto",
                    choices=["auto", "xla", "fused"],
-                   help="'fused' = Pallas decoder-head kernel for the "
-                        "full decode ('auto': fused iff attn is pallas)")
+                   help="'fused' = Pallas decoder-tail kernel for the "
+                        "full decode; 'auto' resolves to 'xla' (the "
+                        "kernel measured on par with XLA on v5e — see "
+                        "kernels/decoder_head.py)")
     p.add_argument("--max_steps_per_epoch", default=-1, type=int,
                    help="truncate epochs (smoke tests)")
     p.add_argument("--watchdog_freq", default=10, type=int,
@@ -90,7 +92,9 @@ def get_args_parser():
     return p
 
 
-def main(args):
+def main(args=None):
+    if args is None:  # console-script entry point
+        args = get_args_parser().parse_args()
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -161,3 +161,20 @@ def test_flash_relpos_fixed_max_gradients():
                             ["dq", "dk", "dv", "drph", "drpw"]):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(ge),
                                    atol=1e-4, err_msg=name)
+
+
+def test_flash_relpos_fixed_max_all_underflow_row_is_finite():
+    """A row whose logits all sit below the fp32 exp2 floor degrades to
+    zeros under the fixed-max softmax (denominator floor), never NaN."""
+    b, nh, qh, qw, hd = 1, 1, 4, 2, 16
+    L = qh * qw
+    q = jnp.full((b, nh, L, hd), -50.0, jnp.float32)  # logits ~ -3200
+    k = jnp.full((b, nh, L, hd), 50.0, jnp.float32)
+    v = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    rph = jnp.zeros((2 * qh - 1, hd), jnp.float32)
+    rpw = jnp.zeros((2 * qw - 1, hd), jnp.float32)
+    out = flash_attention_relpos(q, k, v, rph, rpw, (qh, qw), (qh, qw),
+                                 hd ** -0.5, max_mode="fixed")
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, 0.0, atol=1e-30)
