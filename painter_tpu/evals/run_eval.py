@@ -56,10 +56,14 @@ def get_args_parser():
     p.add_argument("--shard", type=int, default=0)
     p.add_argument("--dist_type", default="abs")
     p.add_argument("--max_images", type=int, default=-1)
-    p.add_argument("--batch_size", type=int, default=8,
-                   help="queries per device batch in phase 1 (batched "
-                        "independent-query path; 1 = the reference's "
-                        "per-image loop)")
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="queries per device batch in phase 1. Default 1 "
+                        "bit-matches the reference's per-image loop; "
+                        ">1 runs the batched path (~2.6x at 8) whose "
+                        "painted PNGs can differ by +-1 uint8 step from "
+                        "the per-image loop (XLA fusion/reduce order). "
+                        "Raise it once metric parity vs the released "
+                        "checkpoints is confirmed (docs/EVAL.md).")
     p.add_argument("--n_dp", type=int, default=1,
                    help=">1: shard the query batch over a dp mesh of "
                         "that many local devices (single-process "

@@ -195,7 +195,7 @@ def _make_fwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
 
 
 def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
-                     ragged: bool):
+                     ragged: bool, clamp: bool):
     def _attn_bwd_kernel(lq_ref, qf_ref, kf_ref, v_ref, rx_ref, ex_ref,
                          do_ref, lse_ref, delta_ref,
                          dqf_ref, dk_ref, dv_ref, drx_ref):
@@ -226,7 +226,12 @@ def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
                         reps, rw_tile)
             # saved logsumexp -> one exp2 pass, no max/sum recompute;
             # the lse of a padding row could be garbage (even NaN), so
-            # re-mask after exp2
+            # re-mask after exp2. Under the fixed-max softmax mirror the
+            # forward's EXP2_CLAMP so out-of-envelope logits reproduce
+            # the forward's (finite, degraded) probabilities instead of
+            # overflowing to inf gradients.
+            if clamp:
+                s = jnp.minimum(s, EXP2_CLAMP)
             p = mz(jnp.exp2(s - lse_ref[0, pl.ds(off, sz)]))
             dp = _dot(do, v, trans_b=True)                  # (sq, L) fp32
             # delta = rowsum(do*o) precomputed outside on (L, hd) arrays;
@@ -284,7 +289,7 @@ def _fwd_impl(qf, kf, vf, rx, ex, hd, reps, rw_tile, block_q, num_sub,
 
 
 def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
-              block_q, num_sub, interpret):
+              block_q, num_sub, max_mode, interpret):
     bn, lq, hdf = qf.shape
     lk = kf.shape[1]
     k_x = ex.shape[0]
@@ -319,7 +324,8 @@ def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
     )
     return pl.pallas_call(
         _make_bwd_kernel(hd, reps, rw_tile, num_sub,
-                         ragged=bool(lq % block_q)),
+                         ragged=bool(lq % block_q),
+                         clamp=(max_mode == "fixed")),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         # Mosaic's default 16 MB scoped-VMEM budget rejects the larger
@@ -427,7 +433,7 @@ def _flash_bwd(q_size, k_size, scale, block_q, rw_tile, num_sub, max_mode,
                     * out.astype(jnp.float32), axis=-1, keepdims=True)
     dqf, dk, dv, drx = _bwd_impl(
         qf, kf, v.reshape(b * nh, lk, hd), rx, ex, gs, lse, delta, hd,
-        reps, rw_tile, block_q, bwd_num_sub, _use_interpret())
+        reps, rw_tile, block_q, bwd_num_sub, max_mode, _use_interpret())
     k_fold = k_size[0] if fold == "h" else k_size[1]
     dqs, drf = dqf[..., :hd], dqf[..., hd:hd + k_fold]  # drop lane pad
     drh, drw = (drf, drx) if fold == "h" else (drx, drf)

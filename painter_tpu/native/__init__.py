@@ -56,8 +56,12 @@ def _build() -> str:
     out = os.path.join(_cache_dir(), f"image_ops_{tag}.so")
     if os.path.exists(out):
         return out
-    with tempfile.TemporaryDirectory() as td:
-        tmp = os.path.join(td, "image_ops.so")
+    # Build into the cache dir itself so the final os.replace is a
+    # same-filesystem rename (os.replace across mounts raises EXDEV,
+    # which _load() would swallow — silently disabling native ops).
+    fd, tmp = tempfile.mkstemp(dir=_cache_dir(), suffix=".so.tmp")
+    os.close(fd)
+    try:
         base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
                 "-fno-math-errno", _SRC, "-o", tmp]
         try:  # vectorize for the build host; portable fallback
@@ -66,6 +70,9 @@ def _build() -> str:
         except subprocess.CalledProcessError:
             subprocess.run(base, check=True, capture_output=True)
         os.replace(tmp, out)  # atomic: concurrent builders race safely
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return out
 
 

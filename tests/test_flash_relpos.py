@@ -178,3 +178,26 @@ def test_flash_relpos_fixed_max_all_underflow_row_is_finite():
     out = np.asarray(out)
     assert np.isfinite(out).all()
     np.testing.assert_allclose(out, 0.0, atol=1e-30)
+
+
+def test_flash_relpos_fixed_max_overflow_gradients_finite():
+    """Logits beyond the +EXP2_CLAMP envelope: the forward clamps and
+    stays finite; the backward must mirror the clamp (ADVICE r2) so
+    gradients are finite too, instead of exp2(s - lse) overflowing."""
+    b, nh, qh, qw, hd = 1, 1, 4, 2, 16
+    L = qh * qw
+    # logits ~ +3200 in the exp2 domain — far past EXP2_CLAMP=114
+    q = jnp.full((b, nh, L, hd), 50.0, jnp.float32)
+    k = jnp.full((b, nh, L, hd), 50.0, jnp.float32)
+    v = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    rph = jnp.zeros((2 * qh - 1, hd), jnp.float32)
+    rpw = jnp.zeros((2 * qw - 1, hd), jnp.float32)
+
+    def f(q_, k_, v_):
+        return jnp.sum(flash_attention_relpos(
+            q_, k_, v_, rph, rpw, (qh, qw), (qh, qw), hd ** -0.5,
+            max_mode="fixed") ** 2)
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    for g, name in zip(grads, ["dq", "dk", "dv"]):
+        assert np.isfinite(np.asarray(g)).all(), name
