@@ -89,6 +89,14 @@ def get_args_parser():
     p.add_argument("--distributed", action="store_true", default=False,
                    help="multi-host: jax.distributed.initialize() "
                         "(replaces the reference's env:// rendezvous)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (misc.py dist_url role); "
+                        "default: auto-detect from the cluster environment")
+    p.add_argument("--num_processes", default=None, type=int)
+    p.add_argument("--process_id", default=None, type=int)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu' for multi-"
+                        "process tests on a machine that also has a TPU)")
     return p
 
 
@@ -111,9 +119,17 @@ def main(args=None):
 
     enable_compilation_cache()
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.distributed:
-        jax.distributed.initialize()
-        print(f"process {jax.process_index()}/{jax.process_count()}")
+        from painter_tpu.utils.logging import setup_for_distributed
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes, process_id=args.process_id)
+        # reference: silence print on non-master ranks (misc.py:152-168)
+        setup_for_distributed(jax.process_index() == 0)
+        print(f"process {jax.process_index()}/{jax.process_count()} "
+              f"({jax.local_device_count()} local devices)", force=True)
 
     cfg = configs.get_config(
         args.model, img_size=tuple(args.input_size),
@@ -304,7 +320,8 @@ def main(args=None):
         stats.update({"epoch": epoch,
                       "epoch_time_s": round(time.time() - t_epoch, 1)})
         print(stats, flush=True)
-        append_log_line(args.output_dir, stats)
+        if jax.process_index() == 0:  # main_train.py:379 master-only log
+            append_log_line(args.output_dir, stats)
         if (epoch + 1) % args.save_freq == 0 or epoch + 1 == args.epochs:
             ckpt_lib.save_state(manager, int(state["step"]), state)
             manager.wait_until_finished()

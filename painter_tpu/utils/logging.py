@@ -127,6 +127,22 @@ class MetricLogger:
             self.meters[n].total = float(total)
 
 
+def setup_for_distributed(is_master: bool) -> None:
+    """Silence builtin print on non-master processes (misc.py:152-168).
+
+    As in the reference, ``print(..., force=True)`` still prints
+    everywhere — used for per-process rendezvous diagnostics."""
+    import builtins
+    builtin_print = builtins.print
+
+    def print_fn(*args, **kwargs):
+        force = kwargs.pop("force", False)
+        if is_master or force:
+            builtin_print(*args, **kwargs)
+
+    builtins.print = print_fn
+
+
 def all_reduce_mean(value: float) -> float:
     """Mean of a host scalar across processes (misc.py:380-388)."""
     import jax
