@@ -168,21 +168,38 @@ class ScalarWriter:
     ("calibrating curves when batch size changes",
     engine_train.py:104-110). One record per write:
     {"step", "epoch_1000x", **scalars} -> <output_dir>/scalars.jsonl.
+    A standard ``events.out.tfevents.*`` file is written alongside
+    (``main_train.py:280-284`` wire format, via the dependency-free
+    :mod:`painter_tpu.utils.tb_writer`) so ``tensorboard --logdir``
+    works on real hosts; set ``tb=False`` to disable.
     """
 
-    def __init__(self, output_dir: str, fname: str = "scalars.jsonl"):
+    def __init__(self, output_dir: str, fname: str = "scalars.jsonl",
+                 tb: bool = True):
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, fname)
         self._f = open(self.path, "a")
+        self._tb = None
+        if tb:
+            from painter_tpu.utils.tb_writer import EventWriter
+            self._tb = EventWriter(output_dir)
 
     def write(self, step: int, epoch_frac: float, **scalars) -> None:
         rec = {"step": int(step), "epoch_1000x": int(epoch_frac * 1000)}
         rec.update({k: float(v) for k, v in scalars.items()})
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            # the reference plots on the epoch_1000x axis (its
+            # log_writer.set_step does the conversion)
+            self._tb.add_scalars(rec["epoch_1000x"],
+                                 {f"train/{k}": v
+                                  for k, v in scalars.items()})
 
     def close(self) -> None:
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def render_sample_panel(imgs, tgts, mask, pred, patch_size: int,

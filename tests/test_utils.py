@@ -88,3 +88,103 @@ def test_compilation_cache_helper(tmp_path):
     enable_compilation_cache(str(tmp_path / "cache"))
     import jax
     assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cache")
+
+
+def test_tfevents_writer_roundtrip(tmp_path):
+    """ScalarWriter's tfevents sidecar decodes with an independent
+    TFRecord/proto reader: framing CRCs valid, file_version header
+    present, tags and values exact (main_train.py:280-284 wire format)."""
+    import glob
+    import struct
+
+    from painter_tpu.utils import tb_writer
+    from painter_tpu.utils.logging import ScalarWriter
+
+    w = ScalarWriter(str(tmp_path))
+    w.write(0, 0.25, loss=1.5, lr=0.001)
+    w.write(10, 0.5, loss=0.75)
+    w.close()
+
+    paths = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    assert len(paths) == 1
+    data = open(paths[0], "rb").read()
+
+    def read_records(buf):
+        off = 0
+        while off < len(buf):
+            (length,) = struct.unpack_from("<Q", buf, off)
+            (len_crc,) = struct.unpack_from("<I", buf, off + 8)
+            assert len_crc == tb_writer._masked_crc(buf[off:off + 8])
+            payload = buf[off + 12:off + 12 + length]
+            (crc,) = struct.unpack_from("<I", buf, off + 12 + length)
+            assert crc == tb_writer._masked_crc(payload)
+            yield payload
+            off += 16 + length
+
+    def parse_fields(msg):
+        """Independent minimal proto decoder -> {field_num: [values]}."""
+        out = {}
+        off = 0
+        while off < len(msg):
+            key = 0
+            shift = 0
+            while True:
+                b = msg[off]
+                off += 1
+                key |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            num, wt = key >> 3, key & 7
+            if wt == 0:
+                val = 0
+                shift = 0
+                while True:
+                    b = msg[off]
+                    off += 1
+                    val |= (b & 0x7F) << shift
+                    shift += 7
+                    if not b & 0x80:
+                        break
+            elif wt == 1:
+                val = struct.unpack_from("<d", msg, off)[0]
+                off += 8
+            elif wt == 5:
+                val = struct.unpack_from("<f", msg, off)[0]
+                off += 4
+            elif wt == 2:
+                ln = 0
+                shift = 0
+                while True:
+                    b = msg[off]
+                    off += 1
+                    ln |= (b & 0x7F) << shift
+                    shift += 7
+                    if not b & 0x80:
+                        break
+                val = msg[off:off + ln]
+                off += ln
+            else:
+                raise AssertionError(f"wire type {wt}")
+            out.setdefault(num, []).append(val)
+        return out
+
+    records = list(read_records(data))
+    assert len(records) == 3  # header + 2 scalar events
+
+    header = parse_fields(records[0])
+    assert header[3] == [b"brain.Event:2"]
+
+    ev1 = parse_fields(records[1])
+    assert ev1[2] == [250]  # epoch_1000x axis
+    vals = {}
+    for value_msg in parse_fields(ev1[5][0])[1]:
+        f = parse_fields(value_msg)
+        vals[f[1][0].decode()] = f[2][0]
+    assert vals == {"train/loss": 1.5,
+                    "train/lr": pytest.approx(0.001)}
+
+    ev2 = parse_fields(records[2])
+    assert ev2[2] == [500]
+    # known-answer CRC check (crc32c of b'123456789' is 0xE3069283)
+    assert tb_writer._crc32c(b"123456789") == 0xE3069283
