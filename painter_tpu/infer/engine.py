@@ -290,40 +290,28 @@ def inference_image(model: InContextModel, img_path: str,
     return output
 
 
-def inference_video(model: InContextModel, vid_path: str, num_frames: int,
-                    img2_paths: Optional[Sequence[str]],
-                    tgt2_paths: Sequence[str], out_path: str,
-                    res: int = 448) -> int:
-    """SegGPT video driver with rolling prompt cache
+def run_video_frames(model: InContextModel, frames_rgb,
+                     tgt2: np.ndarray, num_frames: int,
+                     img2: Optional[np.ndarray] = None, res: int = 448):
+    """Rolling-prompt-cache video engine over in-memory RGB frames.
 
-    (seggpt_engine.py:106-181). Returns number of frames written."""
-    import cv2
+    The core of ``seggpt_engine.py:106-181`` decoupled from cv2/file IO
+    so both :func:`inference_video` and the HTTP ``/paint_video`` route
+    share it. ``frames_rgb`` is an iterable of uint8 RGB arrays; with
+    ``img2=None`` the FIRST frame becomes the prompt image and is not
+    painted (the reference's first-frame-as-prompt mode). Yields one
+    uint8 RGB composite per painted frame.
+    """
     from PIL import Image
-
-    cap = cv2.VideoCapture(vid_path)
-    fps = cap.get(cv2.CAP_PROP_FPS)
-    width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-    height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
-                             fps, (width, height), True)
-
-    if img2_paths is None:
-        _, frame = cap.read()
-        img2 = Image.fromarray(frame[:, :, ::-1]).convert("RGB")
-        img2 = np.array(img2.resize((res, res))) / 255.0
-    else:
-        img2 = _load_rgb(img2_paths[0], res)
-    tgt2 = _load_rgb(tgt2_paths[0], res, nearest=True)
 
     frames_cache: List[np.ndarray] = []
     targets_cache: List[np.ndarray] = []
-    n_written = 0
-    while True:
-        ret, frame = cap.read()
-        if not ret:
-            break
-        image = Image.fromarray(frame[:, :, ::-1]).convert("RGB")
-        input_image = np.array(image)
+    for input_image in frames_rgb:
+        if img2 is None:
+            img2 = np.array(Image.fromarray(input_image)
+                            .resize((res, res))) / 255.0
+            continue
+        image = Image.fromarray(input_image)
         size = image.size
         query = np.array(image.resize((res, res))) / 255.0
 
@@ -347,9 +335,39 @@ def inference_video(model: InContextModel, vid_path: str, num_frames: int,
                 targets_cache.pop(0)
 
         out = scale_and_resize(output, size, TASK_SPECS["seggpt"])
-        composite = input_image * (0.6 * out / 255 + 0.4)
-        writer.write(np.ascontiguousarray(
-            composite.astype(np.uint8)[:, :, ::-1]))
+        yield (input_image * (0.6 * out / 255 + 0.4)).astype(np.uint8)
+
+
+def inference_video(model: InContextModel, vid_path: str, num_frames: int,
+                    img2_paths: Optional[Sequence[str]],
+                    tgt2_paths: Sequence[str], out_path: str,
+                    res: int = 448) -> int:
+    """SegGPT video driver with rolling prompt cache
+
+    (seggpt_engine.py:106-181). Returns number of frames written."""
+    import cv2
+
+    cap = cv2.VideoCapture(vid_path)
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (width, height), True)
+
+    def frames():
+        while True:
+            ret, frame = cap.read()
+            if not ret:
+                return
+            yield np.ascontiguousarray(frame[:, :, ::-1])  # BGR -> RGB
+
+    img2 = None if img2_paths is None else _load_rgb(img2_paths[0], res)
+    tgt2 = _load_rgb(tgt2_paths[0], res, nearest=True)
+
+    n_written = 0
+    for composite in run_video_frames(model, frames(), tgt2, num_frames,
+                                      img2=img2, res=res):
+        writer.write(np.ascontiguousarray(composite[:, :, ::-1]))
         n_written += 1
     writer.release()
     return n_written

@@ -54,6 +54,7 @@ def test_demo_app_http_endpoint():
         model = "tiny_test"
         seg_type = "semantic"
         port = 18947
+        max_batch = 4
 
     t = threading.Thread(target=lambda: demo_app.serve(Args()), daemon=True)
     t.start()
@@ -81,6 +82,44 @@ def test_demo_app_http_endpoint():
     out = json.loads(r.read())
     img = Image.open(io.BytesIO(base64.b64decode(out["output"])))
     assert img.size == (24, 20) and img.mode == "RGB"
+
+    # concurrent requests ride one micro-batched device step each wave
+    def one(results, i):
+        try:
+            rr = urllib.request.urlopen(urllib.request.Request(
+                "http://127.0.0.1:18947/paint",
+                json.dumps(req).encode(),
+                {"Content-Type": "application/json"}), timeout=60)
+            results[i] = json.loads(rr.read())["output"]
+        except Exception as e:  # noqa: BLE001
+            results[i] = e
+
+    results = [None] * 6
+    threads = [threading.Thread(target=one, args=(results, i))
+               for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(120)
+    for res in results:
+        assert isinstance(res, str), res
+    # identical inputs -> identical outputs regardless of batch slot
+    assert len(set(results)) == 1 and results[0] == out["output"]
+
+    # /paint_video: 3 frames, first-frame-as-prompt -> 2 painted frames
+    vreq = {
+        "frames": [_b64_png((rng.rand(20, 24, 3) * 255).astype(np.uint8))
+                   for _ in range(3)],
+        "prompt_target": _b64_png(np.full((20, 24, 3), 255, np.uint8)),
+        "num_frames": 2,
+    }
+    rv = urllib.request.urlopen(urllib.request.Request(
+        "http://127.0.0.1:18947/paint_video", json.dumps(vreq).encode(),
+        {"Content-Type": "application/json"}), timeout=120)
+    vout = json.loads(rv.read())
+    assert len(vout["frames"]) == 2
+    f0 = Image.open(io.BytesIO(base64.b64decode(vout["frames"][0])))
+    assert f0.size == (24, 20)
 
 
 def test_compilation_cache_helper(tmp_path):
