@@ -214,7 +214,39 @@ def serve(args, ready_event=None):
     server.serve_forever()
 
 
+def _mask_prompt_to_pair(prompt):
+    """gradio ImageMask/ImageEditor payload -> (image, white-mask target).
+
+    The reference's drawing-prompt flow (app_gradio.py:41-45): the user
+    draws a mask on the prompt image; the painted strokes become the
+    white-on-black prompt target. Handles both the legacy
+    {"image", "mask"} dict and the ImageEditor {"background", "layers"}
+    dict across gradio versions.
+    """
+    import numpy as np
+    if "image" in prompt:  # legacy ImageMask
+        img = np.asarray(prompt["image"])
+        mask = np.asarray(prompt["mask"])
+    else:  # ImageEditor
+        img = np.asarray(prompt["background"])
+        layers = prompt.get("layers") or []
+        mask = np.zeros(img.shape[:2] + (4,), np.uint8)
+        for layer in layers:
+            la = np.asarray(layer)
+            mask = np.maximum(mask, la)
+    if mask.ndim == 3:
+        mask = mask[..., -1] if mask.shape[-1] == 4 else mask.mean(-1)
+    tgt = np.repeat((mask > 0).astype(np.uint8)[..., None] * 255, 3,
+                    axis=-1)
+    return img[..., :3], tgt
+
+
 def ui(args):
+    """Tabbed demo mirroring ``app_gradio.py:126-198``: drawing-prompt
+    1-shot, video, and explicit prompt-pair tabs, all served by the
+    local model (the reference POSTs to an unshipped remote endpoint).
+    The reference's SAM tab is omitted: it requires external SAM weights
+    (app_gradio.py:14-25) that neither repo ships."""
     try:
         import gradio as gr
     except ImportError:
@@ -222,14 +254,73 @@ def ui(args):
                          "use `serve` for the HTTP endpoint instead")
     model = _build_model(args.ckpt_path, args.model, args.seg_type)
 
-    def infer(image, prompt_image, prompt_target):
+    def infer_pair(image, prompt_image, prompt_target):
         return _run(model, image, prompt_image, prompt_target)
 
-    demo = gr.Interface(
-        fn=infer,
+    def infer_mask(prompt, img1, img2):
+        p_img, p_tgt = _mask_prompt_to_pair(prompt)
+        outs = []
+        for im in (img1, img2):
+            outs.append(None if im is None
+                        else _run(model, im, p_img, p_tgt))
+        return outs
+
+    def infer_video(prompt, vid_path, num_frames=4, max_frames=16):
+        import cv2
+        import numpy as np
+        import tempfile
+        from painter_tpu.infer.engine import run_video_frames
+        p_img, p_tgt = _mask_prompt_to_pair(prompt)
+        res = model.cfg.img_size[1]
+        from PIL import Image
+        img2 = np.array(Image.fromarray(p_img).resize((res, res))) / 255.0
+        tgt2 = np.array(Image.fromarray(p_tgt).resize(
+            (res, res), Image.NEAREST)) / 255.0
+        cap = cv2.VideoCapture(vid_path)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 24
+
+        def frames():
+            # the reference demo caps the video tab at 16 frames
+            for _ in range(max_frames):
+                ret, frame = cap.read()
+                if not ret:
+                    return
+                yield np.ascontiguousarray(frame[:, :, ::-1])
+
+        out_path = tempfile.mktemp(suffix=".mp4")
+        writer = None
+        for comp in run_video_frames(model, frames(), tgt2, num_frames,
+                                     img2=img2, res=res):
+            if writer is None:
+                writer = cv2.VideoWriter(
+                    out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                    (comp.shape[1], comp.shape[0]), True)
+            writer.write(np.ascontiguousarray(comp[:, :, ::-1]))
+        if writer is not None:
+            writer.release()
+        return out_path
+
+    mask_input = (gr.ImageMask if hasattr(gr, "ImageMask")
+                  else gr.ImageEditor)
+    tab_oneshot = gr.Interface(
+        fn=infer_mask,
+        inputs=[mask_input(label="prompt (draw the mask)"),
+                gr.Image(label="img1"), gr.Image(label="img2")],
+        outputs=[gr.Image(label="output1"), gr.Image(label="output2")],
+        allow_flagging="never")
+    tab_video = gr.Interface(
+        fn=infer_video,
+        inputs=[mask_input(label="prompt (draw the mask)"),
+                gr.Video(label="video")],
+        outputs=gr.Video(label="output"))
+    tab_pair = gr.Interface(
+        fn=infer_pair,
         inputs=[gr.Image(label="query"), gr.Image(label="prompt image"),
                 gr.Image(label="prompt target")],
-        outputs=gr.Image(label="output"),
+        outputs=gr.Image(label="output"))
+    demo = gr.TabbedInterface(
+        [tab_oneshot, tab_video, tab_pair],
+        ["General 1-shot", "Anything in a Video", "Prompt pair"],
         title="SegGPT-TPU: segment everything in context")
     demo.launch(server_port=args.port)
 

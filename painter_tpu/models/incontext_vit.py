@@ -199,6 +199,10 @@ def _slice_block(blocks: Params, i) -> Params:
 
 def _mlp(bp: Params, x: jnp.ndarray, gelu_approx: bool = False) -> jnp.ndarray:
     x = x @ bp["fc1"]["kernel"].astype(x.dtype) + bp["fc1"]["bias"].astype(x.dtype)
+    # named checkpoint: the 'save_attn_mlp' remat policy keeps this
+    # pre-activation so the backward recompute is gemm-free (fc2's input
+    # is re-gelu'd from it; fc1's own gemm is never needed in backward)
+    x = checkpoint_name(x, "mlp_fc1")
     x = jax.nn.gelu(x, approximate=gelu_approx)
     x = x @ bp["fc2"]["kernel"].astype(x.dtype) + bp["fc2"]["bias"].astype(x.dtype)
     return x
@@ -412,6 +416,20 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
             policy = jax.checkpoint_policies.save_only_these_names(
                 "attn_out")
             return jax.checkpoint(fn, policy=policy)
+        if remat_policy == "save_attn_mlp":
+            # also keep the fc1 pre-activation (+100 MB/block at ViT-L
+            # b8 bf16): the recompute then re-runs no gemm at all — only
+            # LN2 + gelu (round-3 remat-frontier sweep)
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "mlp_fc1")
+            return jax.checkpoint(fn, policy=policy)
+        if remat_policy == "save_dots":
+            # classic frontier point: keep every non-batch matmul output
+            policy = jax.checkpoint_policies \
+                .dots_with_no_batch_dims_saveable
+            return jax.checkpoint(fn, policy=policy)
+        if remat_policy is not None:
+            raise ValueError(f"unknown remat_policy {remat_policy!r}")
         return jax.checkpoint(fn)
 
     def step_rng(i):

@@ -135,7 +135,9 @@ def test_remat_save_attn_policy_grad_equivalence():
     batch = _toy_batch(cfg, 1, 4)
     outs = []
     for kw in ({"remat": False}, {"remat": True},
-               {"remat": True, "remat_policy": "save_attn"}):
+               {"remat": True, "remat_policy": "save_attn"},
+               {"remat": True, "remat_policy": "save_attn_mlp"},
+               {"remat": True, "remat_policy": "save_dots"}):
         s = step_lib.init_train_state(params, optimizer)
         step = jax.jit(step_lib.make_train_step(cfg, optimizer,
                                                 accum_iter=1, **kw))
