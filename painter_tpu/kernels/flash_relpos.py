@@ -488,19 +488,33 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
     if rw_tile is None:
         rw_tile = _fold_axis(q.shape[3], tuple(k_size)) == "h"
     if num_sub is None:
-        if rw_tile:
-            num_sub = 1 if max_mode == "fixed" else 4
+        if max_mode == "fixed":
+            # fixed-max: no VPU max pass left to overlap — sub1 wins on
+            # both fold axes (448 sweep 2026-08-17: bq784 sub1 2.272 vs
+            # sub4 2.292; 560 sweep: bq616 sub1 6.736 vs sub2 6.751)
+            num_sub = 1
         else:
-            num_sub = 2
+            num_sub = 4 if rw_tile else 2
     if bwd_num_sub is None:
         # measured (2026-08-17): the unsplit backward wins in isolation
         # (6.65 ms fwd+bwd vs sub4's 6.87, with the kernel's raised
         # scoped-VMEM budget) but LOSES ~3% end-to-end in the remat
         # train step — its 19.6 MB VMEM residency starves the
         # surrounding pipeline. Keep the sub4 split as the default.
-        bwd_num_sub = max(num_sub, 4) if rw_tile else max(num_sub, 2)
+        bwd_num_sub = 4 if rw_tile else 2
     if block_q is None:
-        block_q = 784 if lq >= 784 else max(8, (lq + 7) // 8 * 8)
+        if lq < 784:
+            block_q = max(8, (lq + 7) // 8 * 8)
+        elif lq % 784 == 0:
+            block_q = 784  # flagship 448 grid: measured optimum
+        else:
+            # ragged long-L shapes (e.g. COCO-eval 560: L=2450, fold-w):
+            # cap block_q*L ~= the flagship's 784x1568 VMEM working set —
+            # the on-chip 560 sweep puts bq616 at 6.74 ms fwd / 20.6 ms
+            # fwd+bwd vs the old bq784 default's 7.65 / 57.7 (!) ms; the
+            # ceil-div ragged tail itself costs little, oversized logit
+            # tiles cost a lot
+            block_q = min(784, max(8, int(1.51e6 / lq) // 8 * 8))
     if max_mode not in ("fixed", "exact"):
         raise ValueError(max_mode)
     return _flash_core(q, k, v, rel_pos_h, rel_pos_w, tuple(q_size),
