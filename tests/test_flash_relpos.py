@@ -201,3 +201,38 @@ def test_flash_relpos_fixed_max_overflow_gradients_finite():
     grads = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
     for g, name in zip(grads, ["dq", "dk", "dv"]):
         assert np.isfinite(np.asarray(g)).all(), name
+
+
+def test_default_selection_shape_aware(monkeypatch):
+    """Pin the measured default rules: flagship 448 grid -> bq784,
+    ragged long-L (COCO-eval 560, L=2450) -> bq616 capping block_q*L at
+    the flagship working set; fixed-max -> num_sub 1 on both fold axes."""
+    from painter_tpu.kernels import flash_relpos as fr
+
+    captured = {}
+
+    def fake_core(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
+                  rw_tile, num_sub, max_mode, bwd_num_sub):
+        captured.update(block_q=block_q, rw_tile=rw_tile,
+                        num_sub=num_sub, bwd_num_sub=bwd_num_sub)
+        return q
+
+    monkeypatch.setattr(fr, "_flash_core", fake_core)
+
+    def call(qh, qw, hd=64):
+        L = qh * qw
+        q = jnp.zeros((1, 1, L, hd), jnp.float32)
+        rph = jnp.zeros((2 * qh - 1, hd), jnp.float32)
+        rpw = jnp.zeros((2 * qw - 1, hd), jnp.float32)
+        fr.flash_attention_relpos(q, q, q, rph, rpw, (qh, qw), (qh, qw),
+                                  1.0)
+        return dict(captured)
+
+    got = call(56, 28)  # flagship 448: L=1568, fold-h
+    assert got == {"block_q": 784, "rw_tile": True, "num_sub": 1,
+                   "bwd_num_sub": 4}
+    got = call(70, 35)  # COCO-eval 560: L=2450, fold-w, ragged
+    assert got == {"block_q": 616, "rw_tile": False, "num_sub": 1,
+                   "bwd_num_sub": 2}
+    got = call(14, 14)  # short L: one whole block, 8-aligned
+    assert got["block_q"] == 200 and got["rw_tile"] is True
