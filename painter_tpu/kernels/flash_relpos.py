@@ -78,6 +78,46 @@ MXU_LANES = 128
 EXP2_CLAMP = 114.0
 
 
+def _exp2(x, impl: str):
+    """``exp2`` with a selectable lowering (softmax VPU-floor attempt #4).
+
+    ``"native"``: the stock ``jnp.exp2`` lowering. ``"poly3"``: integer
+    exponent assembly — split ``x`` into ``i = round(x)`` and
+    ``f = x - i`` in [-0.5, 0.5]; approximate ``2**f`` with a degree-3
+    polynomial (minimax on relative error via Lawson-iterated LSQ; max
+    rel err 7.5e-5, ~50x under the bf16 cast noise of 3.9e-3 the kernel
+    already accepts on the forward's very next instruction) and
+    build ``2**i`` exactly by bitcasting ``(i + 127) << 23`` into the
+    fp32 exponent field. Measured on the v5e (2026-08-17 microbench of
+    a (784, 1568) softmax-stage tile including the PV matmul): native
+    36.2 us/tile, poly3 31.6 us/tile == the no-exp2 floor — the VPU
+    runs the 3-FMA chain at full vector rate while the native
+    transcendental lowering costs ~13% of the stage. Inputs below -126
+    flush to zero (native exp2 produces denormals down to 2^-149;
+    probabilities that small are far below bf16 resolution either way,
+    and the kernel re-masks / floors the denominator after exp2).
+
+    MEASURED-AND-REJECTED as the default (kept opt-in): in the full
+    kernel the isolated win inverts — on-chip e2e A/B at ViT-L 896x448
+    (2026-08-17, /tmp/r3b/ab_exp2.log): fwd b8 51.21 -> 43.76 pairs/s
+    (-15%), b16 49.13 -> 42.33, train step 734 -> 804 ms. The extra
+    round/bitcast/select ops lengthen the softmax stage's dependency
+    chain and break Mosaic's VLIW overlap of exp2 with the surrounding
+    MXU work (trap #3: isolated-stage wins can lose e2e). Numerics were
+    fine (2.5e-2 max abs vs XLA at 448, within the kernel's bf16
+    envelope); performance was not.
+    """
+    if impl == "native":
+        return jnp.exp2(x)
+    i = jnp.round(x)
+    f = x - i
+    p = ((0.055170528 * f + 0.242608298) * f + 0.693260919) * f \
+        + 0.999928253
+    ii = jnp.clip(i, -126.0, 127.0).astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type((ii + 127) << 23, jnp.float32)
+    return jnp.where(x < -126.0, 0.0, scale * p)
+
+
 def _subtiles(block_q: int, num_sub: int):
     """Split block_q into ``num_sub`` sublane-aligned (offset, size) tiles."""
     if num_sub <= 1 or block_q <= 8:
@@ -154,7 +194,7 @@ def _row_mask(i, block_q, sz, lq, off=0):
 
 
 def _make_fwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
-                     max_mode: str):
+                     max_mode: str, exp2_impl: str):
     def _attn_fwd_kernel(qf_ref, kf_ref, vf_ref, rx_ref, ex_ref, o_ref,
                          lse_ref):
         kf = kf_ref[0]
@@ -170,11 +210,12 @@ def _make_fwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
             if max_mode == "fixed":
                 # fixed-max softmax: skip the per-row max pass (see
                 # module docstring); the clamp only guards overflow
-                e = jnp.exp2(jnp.minimum(s, EXP2_CLAMP)).astype(vf.dtype)
+                e = _exp2(jnp.minimum(s, EXP2_CLAMP),
+                          exp2_impl).astype(vf.dtype)
                 m = None
             else:
                 m = jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp2(s - m).astype(vf.dtype)
+                e = _exp2(s - m, exp2_impl).astype(vf.dtype)
             # vf's appended ones-column makes ov[:, hd] the row sum of e:
             # the softmax denominator is free MXU work in the padded
             # output lanes
@@ -195,7 +236,7 @@ def _make_fwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
 
 
 def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
-                     ragged: bool, clamp: bool):
+                     ragged: bool, clamp: bool, exp2_impl: str):
     def _attn_bwd_kernel(lq_ref, qf_ref, kf_ref, v_ref, rx_ref, ex_ref,
                          do_ref, lse_ref, delta_ref,
                          dqf_ref, dk_ref, dv_ref, drx_ref):
@@ -232,7 +273,7 @@ def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
             # overflowing to inf gradients.
             if clamp:
                 s = jnp.minimum(s, EXP2_CLAMP)
-            p = mz(jnp.exp2(s - lse_ref[0, pl.ds(off, sz)]))
+            p = mz(_exp2(s - lse_ref[0, pl.ds(off, sz)], exp2_impl))
             dp = _dot(do, v, trans_b=True)                  # (sq, L) fp32
             # delta = rowsum(do*o) precomputed outside on (L, hd) arrays;
             # padding rows' OOB delta must be zeroed (0*NaN survives)
@@ -254,14 +295,14 @@ def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
 
 
 def _fwd_impl(qf, kf, vf, rx, ex, hd, reps, rw_tile, block_q, num_sub,
-              max_mode, interpret):
+              max_mode, exp2_impl, interpret):
     bn, lq, hdf = qf.shape
     lk = kf.shape[1]
     k_x = ex.shape[0]
     grid = (bn, pl.cdiv(lq, block_q))
     kw = {} if not interpret else {"interpret": True}
     return pl.pallas_call(
-        _make_fwd_kernel(hd, reps, rw_tile, num_sub, max_mode),
+        _make_fwd_kernel(hd, reps, rw_tile, num_sub, max_mode, exp2_impl),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, hdf), lambda b, i: (b, i, 0)),
@@ -289,7 +330,7 @@ def _fwd_impl(qf, kf, vf, rx, ex, hd, reps, rw_tile, block_q, num_sub,
 
 
 def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
-              block_q, num_sub, max_mode, interpret):
+              block_q, num_sub, max_mode, exp2_impl, interpret):
     bn, lq, hdf = qf.shape
     lk = kf.shape[1]
     k_x = ex.shape[0]
@@ -325,7 +366,8 @@ def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
     return pl.pallas_call(
         _make_bwd_kernel(hd, reps, rw_tile, num_sub,
                          ragged=bool(lq % block_q),
-                         clamp=(max_mode == "fixed")),
+                         clamp=(max_mode == "fixed"),
+                         exp2_impl=exp2_impl),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         # Mosaic's default 16 MB scoped-VMEM budget rejects the larger
@@ -394,16 +436,16 @@ def _pack_inputs(q, k, rel_h, rel_w, k_size, scale, rw_tile):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
 def _flash_core(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
-                rw_tile, num_sub, max_mode, bwd_num_sub):
+                rw_tile, num_sub, max_mode, bwd_num_sub, exp2_impl):
     out, _ = _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
-                        rw_tile, num_sub, max_mode, bwd_num_sub)
+                        rw_tile, num_sub, max_mode, bwd_num_sub, exp2_impl)
     return out
 
 
 def _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q, rw_tile,
-               num_sub, max_mode, bwd_num_sub):
+               num_sub, max_mode, bwd_num_sub, exp2_impl):
     b, nh, lq, hd = q.shape
     lk = k.shape[2]
     rel_h, rel_w = _rel_terms(q, rph, rpw, q_size, k_size)
@@ -413,12 +455,12 @@ def _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q, rw_tile,
         [v.reshape(b * nh, lk, hd),
          jnp.ones((b * nh, lk, 1), v.dtype)], axis=-1)
     out, lse = _fwd_impl(qf, kf, vf, rx, ex, hd, reps, rw_tile, block_q,
-                         num_sub, max_mode, _use_interpret())
+                         num_sub, max_mode, exp2_impl, _use_interpret())
     return out.reshape(b, nh, lq, hd), (q, k, v, rph, rpw, out, lse)
 
 
 def _flash_bwd(q_size, k_size, scale, block_q, rw_tile, num_sub, max_mode,
-               bwd_num_sub, res, g):
+               bwd_num_sub, exp2_impl, res, g):
     q, k, v, rph, rpw, out, lse = res
     b, nh, lq, hd = q.shape
     lk = k.shape[2]
@@ -433,7 +475,8 @@ def _flash_bwd(q_size, k_size, scale, block_q, rw_tile, num_sub, max_mode,
                     * out.astype(jnp.float32), axis=-1, keepdims=True)
     dqf, dk, dv, drx = _bwd_impl(
         qf, kf, v.reshape(b * nh, lk, hd), rx, ex, gs, lse, delta, hd,
-        reps, rw_tile, block_q, bwd_num_sub, max_mode, _use_interpret())
+        reps, rw_tile, block_q, bwd_num_sub, max_mode, exp2_impl,
+        _use_interpret())
     k_fold = k_size[0] if fold == "h" else k_size[1]
     dqs, drf = dqf[..., :hd], dqf[..., hd:hd + k_fold]  # drop lane pad
     drh, drw = (drf, drx) if fold == "h" else (drx, drf)
@@ -459,6 +502,7 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
                            num_sub: int = None,
                            max_mode: str = "fixed",
                            bwd_num_sub: int = None,
+                           exp2_impl: str = None,
                            interpret_fallback: bool = True):
     """Fused attention with decomposed rel-pos bias (differentiable).
 
@@ -482,6 +526,13 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
     ``max_mode="fixed"`` (default) skips the forward's per-row max pass
     — exact for |logits| <= 79 nats (see module docstring); "exact"
     restores the guarded softmax.
+
+    ``exp2_impl="native"`` (default) is the stock transcendental;
+    ``"poly3"`` is the integer-trick polynomial (see :func:`_exp2`) —
+    it wins the isolated softmax-stage microbench but **loses 15% e2e
+    on-chip** (the measured rejection is documented in ``_exp2``), so
+    it stays opt-in for future shapes/toolchains where the VLIW
+    scheduling may differ.
     """
     del interpret_fallback  # auto-detected per backend
     lq = q.shape[2]
@@ -517,7 +568,11 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
             block_q = min(784, max(8, int(1.51e6 / lq) // 8 * 8))
     if max_mode not in ("fixed", "exact"):
         raise ValueError(max_mode)
+    if exp2_impl is None:
+        exp2_impl = "native"
+    if exp2_impl not in ("poly3", "native"):
+        raise ValueError(exp2_impl)
     return _flash_core(q, k, v, rel_pos_h, rel_pos_w, tuple(q_size),
                        tuple(k_size), float(scale), int(block_q),
                        bool(rw_tile), int(num_sub), str(max_mode),
-                       int(bwd_num_sub))
+                       int(bwd_num_sub), str(exp2_impl))

@@ -34,7 +34,8 @@ def test_flash_relpos_matches_xla(block_q):
     scale = hd ** -0.5
     ref = _xla_ref(q, k, v, rph, rpw, (qh, qw), scale)
     got = flash_attention_relpos(q, k, v, rph, rpw, (qh, qw), (qh, qw),
-                                 scale, block_q=block_q)
+                                 scale, block_q=block_q,
+                                 exp2_impl="native")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
@@ -48,7 +49,7 @@ def test_flash_relpos_resolution_interpolation():
     scale = hd ** -0.5
     ref = _xla_ref(q, q, q, rph, rpw, (qh, qw), scale)
     got = flash_attention_relpos(q, q, q, rph, rpw, (qh, qw), (qh, qw),
-                                 scale, block_q=16)
+                                 scale, block_q=16, exp2_impl="native")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
@@ -64,7 +65,8 @@ def test_flash_relpos_rw_tile_matches_xla():
     scale = hd ** -0.5
     ref = _xla_ref(q, k, v, rph, rpw, (qh, qw), scale)
     got = flash_attention_relpos(q, k, v, rph, rpw, (qh, qw), (qh, qw),
-                                 scale, block_q=8, rw_tile=True)
+                                 scale, block_q=8, rw_tile=True,
+                                 exp2_impl="native")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
@@ -84,7 +86,7 @@ def test_flash_relpos_folds_w_axis_when_h_overflows():
     scale = hd ** -0.5
     ref = _xla_ref(q, q, q, rph, rpw, (qh, qw), scale)
     got = flash_attention_relpos(q, q, q, rph, rpw, (qh, qw), (qh, qw),
-                                 scale, block_q=32)
+                                 scale, block_q=32, exp2_impl="native")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
@@ -107,7 +109,7 @@ def test_flash_relpos_gradients_match_xla(block_q, rw_tile):
     def loss_pal(*a):
         return jnp.sum(flash_attention_relpos(
             *a, (qh, qw), (qh, qw), scale, block_q=block_q,
-            rw_tile=rw_tile) * gref)
+            rw_tile=rw_tile, exp2_impl="native") * gref)
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rph, rpw)
     g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(q, k, v, rph, rpw)
@@ -135,7 +137,8 @@ def test_flash_relpos_max_modes_match(max_mode):
     scale = hd ** -0.5
     ref = _xla_ref(q, k, v, rph, rpw, (qh, qw), scale)
     got = flash_attention_relpos(q, k, v, rph, rpw, (qh, qw), (qh, qw),
-                                 scale, max_mode=max_mode)
+                                 scale, max_mode=max_mode,
+                                 exp2_impl="native")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
 
 
@@ -153,7 +156,7 @@ def test_flash_relpos_fixed_max_gradients():
         def f(q_, k_, v_, rph_, rpw_):
             return jnp.sum(flash_attention_relpos(
                 q_, k_, v_, rph_, rpw_, (qh, qw), (qh, qw), scale,
-                max_mode=mode) ** 2)
+                max_mode=mode, exp2_impl="native") ** 2)
         return jax.grad(f, argnums=(0, 1, 2, 3, 4))(q, k, v, rph, rpw)
 
     # the two modes differ only in fp32 rounding of the saved lse
@@ -212,7 +215,7 @@ def test_default_selection_shape_aware(monkeypatch):
     captured = {}
 
     def fake_core(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
-                  rw_tile, num_sub, max_mode, bwd_num_sub):
+                  rw_tile, num_sub, max_mode, bwd_num_sub, exp2_impl):
         captured.update(block_q=block_q, rw_tile=rw_tile,
                         num_sub=num_sub, bwd_num_sub=bwd_num_sub)
         return q
@@ -236,3 +239,54 @@ def test_default_selection_shape_aware(monkeypatch):
                    "bwd_num_sub": 2}
     got = call(14, 14)  # short L: one whole block, 8-aligned
     assert got["block_q"] == 200 and got["rw_tile"] is True
+
+
+def test_exp2_poly3_matches_native():
+    """The integer-trick exp2 (softmax attempt #4): rel err <= 1e-4 over
+    the kernel's whole operating envelope, exact zero below -126."""
+    from painter_tpu.kernels.flash_relpos import _exp2
+
+    x = jnp.asarray(np.linspace(-130.0, 114.0, 200001), jnp.float32)
+    got = np.asarray(_exp2(x, "poly3"))
+    ref = np.asarray(_exp2(x, "native"))
+    live = np.asarray(x) >= -125.0  # above the denormal flush point
+    rel = np.abs(got[live] / ref[live] - 1.0)
+    assert rel.max() < 1e-4
+    assert (got[np.asarray(x) < -126.0] == 0.0).all()
+    assert np.isfinite(got).all()
+
+
+@pytest.mark.parametrize("max_mode", ["fixed", "exact"])
+def test_flash_relpos_poly3_exp2_matches_native(max_mode):
+    """poly3 softmax exp2 == native within bf16-level tolerance, forward
+    and gradients, both max modes."""
+    b, nh, qh, qw, hd = 1, 2, 8, 4, 16
+    L = qh * qw
+    q = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    k = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    v = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    rph = jnp.asarray(RNG.randn(2 * qh - 1, hd), jnp.float32)
+    rpw = jnp.asarray(RNG.randn(2 * qw - 1, hd), jnp.float32)
+    scale = hd ** -0.5
+
+    def f(q_, k_, v_, impl):
+        return flash_attention_relpos(q_, k_, v_, rph, rpw, (qh, qw),
+                                      (qh, qw), scale, max_mode=max_mode,
+                                      exp2_impl=impl)
+
+    out_n = f(q, k, v, "native")
+    out_p = f(q, k, v, "poly3")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_n),
+                               atol=2e-4)
+
+    loss = lambda impl: (lambda q_, k_, v_:
+                         jnp.sum(f(q_, k_, v_, impl) ** 2))
+    gn = jax.grad(loss("native"), argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss("poly3"), argnums=(0, 1, 2))(q, k, v)
+    # the 7.5e-5 exp2 error amplifies through the (dp - delta)
+    # cancellation in ds to ~0.25% relative on the worst grad element —
+    # still at the bf16 noise scale production injects at the very same
+    # spot (ds/p are cast to bf16 for the gradient matmuls)
+    for a, b_, name in zip(gp, gn, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-3, err_msg=name)
