@@ -48,9 +48,9 @@ def _encode_b64_image(arr) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
-def _build_model(ckpt_path, model_name, seg_type="semantic"):
+def _build_model(ckpt_path, model_name, seg_type="semantic", quant="none"):
     from painter_tpu.infer.seggpt_cli import prepare_model
-    return prepare_model(ckpt_path, model_name, seg_type)
+    return prepare_model(ckpt_path, model_name, seg_type, quant=quant)
 
 
 def _prep_query(model, image, prompt_image, prompt_target):
@@ -173,7 +173,8 @@ def _run_video(model, req):
 def serve(args, ready_event=None):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    model = _build_model(args.ckpt_path, args.model, args.seg_type)
+    model = _build_model(args.ckpt_path, args.model, args.seg_type,
+                         quant=getattr(args, "quant", "none"))
     batcher = MicroBatcher(model, max_batch=args.max_batch)
     # video requests hold the device for many sequential ensemble steps;
     # serialize them against each other (image requests ride the batcher)
@@ -252,7 +253,8 @@ def ui(args):
     except ImportError:
         raise SystemExit("gradio is not installed in this image; "
                          "use `serve` for the HTTP endpoint instead")
-    model = _build_model(args.ckpt_path, args.model, args.seg_type)
+    model = _build_model(args.ckpt_path, args.model, args.seg_type,
+                         quant=getattr(args, "quant", "none"))
 
     def infer_pair(image, prompt_image, prompt_target):
         return _run(model, image, prompt_image, prompt_target)
@@ -336,6 +338,8 @@ def main():
     p.add_argument("--max_batch", type=int, default=8,
                    help="micro-batch cap for concurrent /paint requests "
                         "(1 = strict serial)")
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8: w8a8 quantized serving gemms")
     args = p.parse_args()
     (serve if args.mode == "serve" else ui)(args)
 

@@ -26,10 +26,15 @@ def get_args_parser():
     parser.add_argument("--device", type=str, default=None,
                         help="unused (kept for reference-CLI parity)")
     parser.add_argument("--output_dir", type=str, default="./")
+    parser.add_argument("--quant", type=str, default="none",
+                        choices=["none", "int8"],
+                        help="int8: w8a8 quantized serving gemms "
+                             "(ops/quant.py; measured speedup + deviation "
+                             "in BASELINE.md)")
     return parser
 
 
-def prepare_model(ckpt_path, model_name, seg_type):
+def prepare_model(ckpt_path, model_name, seg_type, quant="none"):
     import jax
     from painter_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -42,6 +47,11 @@ def prepare_model(ckpt_path, model_name, seg_type):
     init = model_lib.init_params(jax.random.PRNGKey(0), cfg)
     params = (ckpt_lib.load_torch_params(ckpt_path, cfg, init=init)
               if ckpt_path else init)
+    if quant == "int8":
+        from painter_tpu.ops.quant import quantize_params
+        params = quantize_params(params)
+    elif quant != "none":
+        raise ValueError(quant)
     return InContextModel(cfg, params, seg_type=seg_type)
 
 
@@ -50,7 +60,8 @@ def main():
     from painter_tpu.infer.engine import inference_image, inference_video
 
     assert args.input_image or args.input_video
-    model = prepare_model(args.ckpt_path, args.model, args.seg_type)
+    model = prepare_model(args.ckpt_path, args.model, args.seg_type,
+                          quant=args.quant)
     print("Model loaded.")
     os.makedirs(args.output_dir, exist_ok=True)
 

@@ -47,6 +47,7 @@ import numpy as np
 from jax.ad_checkpoint import checkpoint_name
 
 from painter_tpu.configs import IMAGENET_MEAN, IMAGENET_STD, ModelConfig
+from painter_tpu.ops import quant
 from painter_tpu.ops.attention import attention
 from painter_tpu.ops.norm import layer_norm
 from painter_tpu.ops.patches import patchify
@@ -198,13 +199,15 @@ def _slice_block(blocks: Params, i) -> Params:
 # ---------------------------------------------------------------------------
 
 def _mlp(bp: Params, x: jnp.ndarray, gelu_approx: bool = False) -> jnp.ndarray:
-    x = x @ bp["fc1"]["kernel"].astype(x.dtype) + bp["fc1"]["bias"].astype(x.dtype)
+    # quant.linear dispatches fp vs int8 on the param dict (serving-only
+    # int8 pytrees come from ops.quant.quantize_params)
+    x = quant.linear(bp["fc1"], x)
     # named checkpoint: the 'save_attn_mlp' remat policy keeps this
     # pre-activation so the backward recompute is gemm-free (fc2's input
     # is re-gelu'd from it; fc1's own gemm is never needed in backward)
     x = checkpoint_name(x, "mlp_fc1")
     x = jax.nn.gelu(x, approximate=gelu_approx)
-    x = x @ bp["fc2"]["kernel"].astype(x.dtype) + bp["fc2"]["bias"].astype(x.dtype)
+    x = quant.linear(bp["fc2"], x)
     return x
 
 
@@ -519,8 +522,7 @@ def forward_decoder(params: Params, cfg: ModelConfig,
     """
     x = jnp.concatenate(list(feats), axis=-1)  # (B, Hp, Wp, 4C)
     dtype = x.dtype
-    de = params["decoder_embed"]
-    x = x @ de["kernel"].astype(dtype) + de["bias"].astype(dtype)
+    x = quant.linear(params["decoder_embed"], x)
     b, h, w, _ = x.shape
     p = cfg.patch_size
     dec = cfg.decoder_embed_dim

@@ -16,6 +16,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from painter_tpu.ops import quant
 from painter_tpu.ops.pos_embed import get_rel_pos
 
 
@@ -52,8 +53,7 @@ def attention(x: jnp.ndarray, params: dict, num_heads: int,
     head_dim = c // num_heads
     scale = head_dim ** -0.5
 
-    qkv = x.reshape(b, length, c) @ params["qkv"]["kernel"].astype(x.dtype)
-    qkv = qkv + params["qkv"]["bias"].astype(x.dtype)
+    qkv = quant.linear(params["qkv"], x.reshape(b, length, c))
     qkv = qkv.reshape(b, length, 3, num_heads, head_dim)
     q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # (b, nh, L, hd)
     k = qkv[:, :, 1].transpose(0, 2, 1, 3)
@@ -75,6 +75,5 @@ def attention(x: jnp.ndarray, params: dict, num_heads: int,
         out = jnp.einsum("bnqk,bnkd->bnqd", attn.astype(x.dtype), v)
 
     out = out.transpose(0, 2, 1, 3).reshape(b, length, c)
-    out = out @ params["proj"]["kernel"].astype(x.dtype)
-    out = out + params["proj"]["bias"].astype(x.dtype)
+    out = quant.linear(params["proj"], out)
     return out.reshape(b, h, w, c)
