@@ -118,8 +118,15 @@ class InContextModel:
         self._predict = _predict
 
         batch_kwargs = {}
+        # Pallas kernel sites must shard_map over the dp batch on a
+        # multi-device mesh (GSPMD can't partition Mosaic custom calls;
+        # parallel.mesh.shard_batch0_kernel). Only the batched path is
+        # mesh-sharded; the ensemble path stays single-device.
+        kernel_mesh = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            if len(mesh.devices.flat) > 1:
+                kernel_mesh = (mesh, ("dp",))
             data = NamedSharding(mesh, P("dp"))
             rep = NamedSharding(mesh, P())
             params_s = jax.tree_util.tree_map(lambda _: rep, self.params)
@@ -135,7 +142,8 @@ class InContextModel:
         def _predict_batch(params, imgs, tgts, mask, seg_type_arr):
             out = model_lib.predict_query_half_batch(
                 params, self.cfg, imgs, tgts, mask,
-                seg_type=seg_type_arr, attn_impl=self.attn_impl)
+                seg_type=seg_type_arr, attn_impl=self.attn_impl,
+                kernel_mesh=kernel_mesh)
             return image_ops.denormalize(out)
 
         self._predict_batch = _predict_batch

@@ -198,9 +198,14 @@ def _slice_block(blocks: Params, i) -> Params:
 # Block
 # ---------------------------------------------------------------------------
 
-def _mlp(bp: Params, x: jnp.ndarray, gelu_approx: bool = False) -> jnp.ndarray:
-    # quant.linear dispatches fp vs int8 on the param dict (serving-only
-    # int8 pytrees come from ops.quant.quantize_params)
+def _mlp(bp: Params, x: jnp.ndarray, gelu_approx: bool = False,
+         kernel_mesh=None) -> jnp.ndarray:
+    # int8 serving pytrees (ops.quant.quantize_params) take the fused
+    # w8a8 kernel path on TPU (kernels/int8_mlp.py); fp params keep the
+    # XLA gemms + the remat checkpoint name below
+    if quant.is_quantized(bp["fc1"]):
+        return quant.mlp(bp["fc1"], bp["fc2"], x, gelu_approx=gelu_approx,
+                         kernel_mesh=kernel_mesh)
     x = quant.linear(bp["fc1"], x)
     # named checkpoint: the 'save_attn_mlp' remat policy keeps this
     # pre-activation so the backward recompute is gemm-free (fc2's input
@@ -281,7 +286,7 @@ def block_apply(bp: Params, x: jnp.ndarray, cfg: ModelConfig, *,
                 ensemble_groups: int = 0,
                 ensemble_weights: Optional[jnp.ndarray] = None,
                 train: bool = False, rng: Optional[jax.Array] = None,
-                attn_impl: str = "xla") -> jnp.ndarray:
+                attn_impl: str = "xla", kernel_mesh=None) -> jnp.ndarray:
     """One transformer block over an (B, H, W, C) grid."""
     b, h, w, _ = x.shape
     shortcut = x
@@ -296,7 +301,7 @@ def block_apply(bp: Params, x: jnp.ndarray, cfg: ModelConfig, *,
     if cfg.use_rel_pos:
         rel = (bp["attn"]["rel_pos_h"], bp["attn"]["rel_pos_w"])
     att = attention(xn, bp["attn"], cfg.num_heads, hw, rel_pos=rel,
-                    impl=attn_impl)
+                    impl=attn_impl, kernel_mesh=kernel_mesh)
     if window_size > 0:
         att = window_unpartition(att, window_size, pad_hw, (h, w))
     # named checkpoint: the 'save_attn' remat policy keeps this tensor so
@@ -313,7 +318,7 @@ def block_apply(bp: Params, x: jnp.ndarray, cfg: ModelConfig, *,
     x = shortcut + _drop_path(att, dpr, k1, train)
     xm = _mlp(bp["mlp"], layer_norm(x, bp["norm2"]["scale"],
                                     bp["norm2"]["bias"], cfg.ln_eps),
-              gelu_approx=cfg.gelu_approximate)
+              gelu_approx=cfg.gelu_approximate, kernel_mesh=kernel_mesh)
     x = x + _drop_path(xm, dpr, k2, train)
     return x
 
@@ -355,8 +360,14 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                     remat_policy: Optional[str] = None,
                     act_constraint=None,
                     ensemble_weights: Optional[jnp.ndarray] = None,
+                    kernel_mesh=None,
                     ) -> List[jnp.ndarray]:
-    """imgs/tgts (B, H, W, 3) NHWC -> list of tapped features (B,Hp,Wp,C)."""
+    """imgs/tgts (B, H, W, 3) NHWC -> list of tapped features (B,Hp,Wp,C).
+
+    kernel_mesh: (mesh, batch_axes) when tracing for a multi-device
+    mesh — Pallas kernel sites shard_map themselves over the batch
+    shards (parallel.mesh.shard_batch0_kernel).
+    """
     dtype = cfg.compute_dtype
     kernel = params["patch_embed"]["kernel"].astype(dtype)
     bias = params["patch_embed"]["bias"].astype(dtype)
@@ -410,7 +421,8 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
             return block_apply(bp, h, cfg, window_size=ws, dpr=rate,
                                ensemble_groups=groups,
                                ensemble_weights=ensemble_weights,
-                               train=train, rng=key, attn_impl=attn_impl)
+                               train=train, rng=key, attn_impl=attn_impl,
+                               kernel_mesh=kernel_mesh)
         if not remat:
             return fn
         if remat_policy == "save_attn":
@@ -605,7 +617,8 @@ def forward(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
             merge_between_batch: int = -1, train: bool = False,
             rng: Optional[jax.Array] = None, attn_impl: str = "xla",
             remat: bool = False, remat_policy: Optional[str] = None,
-            act_constraint=None, decoder_impl: str = "xla"):
+            act_constraint=None, decoder_impl: str = "xla",
+            kernel_mesh=None):
     """Full forward. Returns (loss, patchified pred, bool_masked_pos),
 
     mirroring ``models_painter.py:464-472`` (NHWC in/out)."""
@@ -623,7 +636,8 @@ def forward(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                             merge_between_batch=merge_between_batch,
                             train=train, rng=rng, attn_impl=attn_impl,
                             remat=remat, remat_policy=remat_policy,
-                            act_constraint=act_constraint)
+                            act_constraint=act_constraint,
+                            kernel_mesh=kernel_mesh)
     pred = forward_decoder(params, cfg, feats, decoder_impl=decoder_impl)
     loss = forward_loss(cfg, pred, tgts, bool_masked_pos, valid)
     return loss, patchify(pred.astype(jnp.float32), cfg.patch_size), \
@@ -634,13 +648,14 @@ def predict_image(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                   tgts: jnp.ndarray, bool_masked_pos: jnp.ndarray,
                   seg_type: Optional[jnp.ndarray] = None,
                   merge_between_batch: int = -1,
-                  attn_impl: str = "xla") -> jnp.ndarray:
+                  attn_impl: str = "xla", kernel_mesh=None) -> jnp.ndarray:
     """Inference-only path -> painted prediction (B, H, W, 3), no loss."""
     feats = forward_encoder(params, cfg, imgs, tgts,
                             bool_masked_pos.reshape(imgs.shape[0], -1),
                             seg_type=seg_type,
                             merge_between_batch=merge_between_batch,
-                            train=False, attn_impl=attn_impl)
+                            train=False, attn_impl=attn_impl,
+                            kernel_mesh=kernel_mesh)
     return forward_decoder(params, cfg, feats).astype(jnp.float32)
 
 
@@ -650,6 +665,7 @@ def predict_query_half(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                        merge_between_batch: int = -1,
                        attn_impl: str = "xla",
                        ensemble_weights: Optional[jnp.ndarray] = None,
+                       kernel_mesh=None,
                        ) -> jnp.ndarray:
     """In-context inference fast path -> (H/2, W, 3) painted query half.
 
@@ -666,7 +682,8 @@ def predict_query_half(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
                             seg_type=seg_type,
                             merge_between_batch=merge_between_batch,
                             train=False, attn_impl=attn_impl,
-                            ensemble_weights=ensemble_weights)
+                            ensemble_weights=ensemble_weights,
+                            kernel_mesh=kernel_mesh)
     gh = feats[0].shape[1]
     half = gh // 2
     sliced = [f[:1, half - 1:] for f in feats]
@@ -678,7 +695,8 @@ def predict_query_half_batch(params: Params, cfg: ModelConfig,
                              imgs: jnp.ndarray, tgts: jnp.ndarray,
                              bool_masked_pos: jnp.ndarray,
                              seg_type: Optional[jnp.ndarray] = None,
-                             attn_impl: str = "xla") -> jnp.ndarray:
+                             attn_impl: str = "xla",
+                             kernel_mesh=None) -> jnp.ndarray:
     """Batched independent queries -> (B, H/2, W, 3) painted halves.
 
     The serving/eval throughput path: every sample is its own
@@ -690,7 +708,8 @@ def predict_query_half_batch(params: Params, cfg: ModelConfig,
     feats = forward_encoder(params, cfg, imgs, tgts,
                             bool_masked_pos.reshape(imgs.shape[0], -1),
                             seg_type=seg_type, merge_between_batch=-1,
-                            train=False, attn_impl=attn_impl)
+                            train=False, attn_impl=attn_impl,
+                            kernel_mesh=kernel_mesh)
     gh = feats[0].shape[1]
     half = gh // 2
     sliced = [f[:, half - 1:] for f in feats]

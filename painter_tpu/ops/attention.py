@@ -42,11 +42,15 @@ def rel_pos_bias(q: jnp.ndarray, rel_pos_h: jnp.ndarray,
 def attention(x: jnp.ndarray, params: dict, num_heads: int,
               hw: Tuple[int, int],
               rel_pos: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-              impl: str = "xla") -> jnp.ndarray:
+              impl: str = "xla",
+              kernel_mesh: Optional[tuple] = None) -> jnp.ndarray:
     """Full attention over an (B, H, W, C) token grid -> (B, H, W, C).
 
     params: {'qkv': {kernel (C, 3C), bias (3C)}, 'proj': {...}}.
     rel_pos: optional (rel_pos_h (Lh, hd), rel_pos_w (Lw, hd)) tables.
+    kernel_mesh: optional (mesh, batch_axes) — on a multi-device mesh
+    the Pallas kernel must run inside a shard_map over the batch
+    shards (parallel.mesh.shard_batch0_kernel).
     """
     b, h, w, c = x.shape
     length = h * w
@@ -61,8 +65,15 @@ def attention(x: jnp.ndarray, params: dict, num_heads: int,
 
     if impl == "pallas" and rel_pos is not None:
         from painter_tpu.kernels.flash_relpos import flash_attention_relpos
-        out = flash_attention_relpos(q, k, v, rel_pos[0], rel_pos[1],
-                                     (h, w), (h, w), scale)
+        from painter_tpu.parallel import mesh as mesh_lib
+
+        def _kernel(q_, k_, v_, rh_, rw_):
+            return flash_attention_relpos(q_, k_, v_, rh_, rw_,
+                                          (h, w), (h, w), scale)
+
+        out = mesh_lib.shard_batch0_kernel(
+            _kernel, n_batch_args=3, n_rep_args=2,
+            kernel_mesh=kernel_mesh)(q, k, v, rel_pos[0], rel_pos[1])
     else:
         attn = jnp.einsum("bnqd,bnkd->bnqk", q * scale, k)
         if rel_pos is not None:

@@ -78,3 +78,33 @@ def shard_params(params: Any, mesh: Mesh):
     """Place a host pytree onto the mesh with fsdp shardings."""
     shardings = param_shardings(params, mesh)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-kernel sharding wrapper
+# ---------------------------------------------------------------------------
+
+def shard_batch0_kernel(fn, n_batch_args: int, n_rep_args: int,
+                        kernel_mesh: Optional[tuple]):
+    """shard_map a Pallas kernel call over the batch dim of a mesh.
+
+    GSPMD cannot auto-partition Mosaic custom calls: lowering a Pallas
+    kernel inside a jit whose ShardingContext spans >1 device raises
+    NotImplementedError ("wrap the call in a shard_map",
+    jax/_src/tpu_custom_call.py). Every multi-device entry point (train
+    step with a mesh, dp-serving engine) therefore threads
+    ``kernel_mesh = (mesh, batch_axes)`` down to the kernel call sites
+    (ops/attention.py pallas branch, ops/quant.py fused MLP), which
+    wrap themselves with this helper: the first ``n_batch_args`` args
+    are sharded on dim 0 over ``batch_axes`` — ("dp",) for serving,
+    ("dp", "fsdp") for the train step — and the next ``n_rep_args``
+    are replicated. check_vma=False grads through a replicated-spec
+    input (the rel-pos tables) are exact on this JAX — verified against
+    the unsharded grad in tests/test_multichip_vitl.py. No-op when
+    ``kernel_mesh`` is None (single device)."""
+    if kernel_mesh is None:
+        return fn
+    mesh, axes = kernel_mesh
+    in_specs = (P(tuple(axes)),) * n_batch_args + (P(),) * n_rep_args
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=P(tuple(axes)), check_vma=False)

@@ -46,8 +46,15 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
         decoder_impl = "xla"
 
     act_constraint = None
+    kernel_mesh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # Pallas kernels inside the step must run under shard_map on a
+        # multi-device mesh (GSPMD can't partition Mosaic custom calls;
+        # parallel.mesh.shard_batch0_kernel)
+        if len(mesh.devices.flat) > 1:
+            kernel_mesh = (mesh, ("dp", "fsdp"))
 
         def act_constraint(x):
             spec = P(("dp", "fsdp"), *([None] * (x.ndim - 1)))
@@ -60,7 +67,7 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
             micro["valid"], seg_type=micro.get("seg_type"),
             train=True, rng=rng, remat=remat, remat_policy=remat_policy,
             attn_impl=attn_impl, act_constraint=act_constraint,
-            decoder_impl=decoder_impl)
+            decoder_impl=decoder_impl, kernel_mesh=kernel_mesh)
         return loss
 
     grad_fn = jax.value_and_grad(loss_fn)

@@ -55,6 +55,77 @@ def test_param_spec_picks_intended_axes_vitl(vitl_abstract_params):
             assert any(ax == "fsdp" for ax in s), (path, leaf.shape)
 
 
+def test_kernel_shard_wrapper_parity_and_grads():
+    """shard_batch0_kernel: forward parity AND exact grads for both the
+    batch-sharded and the replicated (rel-pos-table-like) inputs.
+
+    Mosaic calls cannot be GSPMD-partitioned (jax tpu_custom_call
+    raises under a >1-device ShardingContext), so every kernel site
+    wraps itself with this helper on a mesh; check_vma=False must not
+    drop the psum on the replicated input's cotangent."""
+    mesh = mesh_lib.make_mesh(4, 2)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 6, 16), jnp.float32)   # batch-sharded
+    w = jnp.asarray(rng.randn(16), jnp.float32)          # replicated
+
+    def core(xl, wl):
+        return jnp.tanh(xl * wl)
+
+    wrapped = mesh_lib.shard_batch0_kernel(
+        core, n_batch_args=1, n_rep_args=1,
+        kernel_mesh=(mesh, ("dp", "fsdp")))
+
+    np.testing.assert_allclose(np.asarray(wrapped(x, w)),
+                               np.asarray(core(x, w)), atol=1e-6)
+
+    def loss(f, x, w):
+        return jnp.sum(f(x, w) ** 2)
+
+    g_ref = jax.grad(loss, argnums=(1, 2))(core, x, w)
+    g_sm = jax.jit(jax.grad(loss, argnums=(1, 2)),
+                   static_argnums=0)(wrapped, x, w)
+    np.testing.assert_allclose(np.asarray(g_sm[0]), np.asarray(g_ref[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_sm[1]), np.asarray(g_ref[1]),
+                               atol=1e-5)
+
+    # no-op on a single device
+    assert mesh_lib.shard_batch0_kernel(core, 1, 1, None) is core
+
+
+def test_fused_int8_mlp_under_shard_map():
+    """The serving engine's kernel_mesh path: the fused int8 MLP runs
+    inside shard_map over a dp mesh (interpret mode on the CPU devices)
+    and matches the unsharded kernel."""
+    from painter_tpu.kernels.int8_mlp import int8_mlp
+    from painter_tpu.ops import quant
+
+    mesh = mesh_lib.make_mesh(4, 2)
+    rng = np.random.RandomState(1)
+    k, n = 64, 128
+    q1 = quant.quantize_linear_params(
+        {"kernel": jnp.asarray(rng.randn(k, n) * 0.05, jnp.float32),
+         "bias": jnp.asarray(rng.randn(n) * 0.05, jnp.float32)})
+    q2 = quant.quantize_linear_params(
+        {"kernel": jnp.asarray(rng.randn(n, k) * 0.05, jnp.float32),
+         "bias": jnp.asarray(rng.randn(k) * 0.05, jnp.float32)})
+    x = jnp.asarray(rng.randn(8, 12, k), jnp.bfloat16)
+
+    def kern(x_, k1, s1, b1, k2, s2, b2):
+        return int8_mlp(x_, {"kernel_q": k1, "scale": s1, "bias": b1},
+                        {"kernel_q": k2, "scale": s2, "bias": b2},
+                        block_m=8, interpret=True)
+
+    wrapped = mesh_lib.shard_batch0_kernel(
+        kern, n_batch_args=1, n_rep_args=6, kernel_mesh=(mesh, ("dp",)))
+    got = np.asarray(wrapped(x, q1["kernel_q"], q1["scale"], q1["bias"],
+                             q2["kernel_q"], q2["scale"], q2["bias"]),
+                     np.float32)
+    ref = np.asarray(int8_mlp(x, q1, q2, block_m=8, interpret=True),
+                     np.float32)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_vitl_sharded_train_step_compiles(vitl_abstract_params):
     """AOT-lower + compile the FULL ViT-L train step (accum + AdamW +
     layer decay + remat) over the dp=4 x fsdp=2 CPU mesh."""

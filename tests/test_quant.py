@@ -112,6 +112,89 @@ def test_quantized_query_half_batch_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def _mk_mlp(k, n, wscale=0.05):
+    fc1 = {"kernel": jnp.asarray(RNG.randn(k, n) * wscale, jnp.float32),
+           "bias": jnp.asarray(RNG.randn(n) * 0.05, jnp.float32)}
+    fc2 = {"kernel": jnp.asarray(RNG.randn(n, k) * wscale, jnp.float32),
+           "bias": jnp.asarray(RNG.randn(k) * 0.05, jnp.float32)}
+    return fc1, fc2
+
+
+@pytest.mark.parametrize("block_m", [64, 96])  # 96: ragged 224 % 96 != 0
+def test_fused_mlp_kernel_matches_unfused(block_m):
+    """Interpret-mode fused kernel == the unfused int8 XLA path, up to
+    the fp32-vs-bf16 intermediate difference (fused is the more exact)."""
+    from painter_tpu.kernels.int8_mlp import int8_mlp
+    k, n = 128, 256
+    fc1, fc2 = _mk_mlp(k, n)
+    q1 = quant.quantize_linear_params(fc1)
+    q2 = quant.quantize_linear_params(fc2)
+    x = jnp.asarray(RNG.randn(2, 112, k), jnp.bfloat16)  # 3D leading dims
+
+    fused = np.asarray(
+        int8_mlp(x, q1, q2, block_m=block_m, interpret=True), np.float32)
+    h = quant.linear(q1, x)
+    h = jax.nn.gelu(h, approximate=True)
+    unfused = np.asarray(quant.linear(q2, h), np.float32)
+    ref = jnp.asarray(x, jnp.float32) @ fc1["kernel"] + fc1["bias"]
+    ref = jax.nn.gelu(ref, approximate=True)
+    ref = np.asarray(ref @ fc2["kernel"] + fc2["bias"])
+
+    assert fused.shape == (2, 112, k)
+    assert np.isfinite(fused).all()
+    scale = np.abs(ref).max()
+    assert np.abs(fused - unfused).max() / scale < 0.02
+    # fused (fp32 intermediates) must not be less accurate than unfused
+    assert (np.abs(fused - ref).max() <=
+            np.abs(unfused - ref).max() + 0.005 * scale)
+
+
+def test_fused_mlp_zero_rows_safe():
+    from painter_tpu.kernels.int8_mlp import int8_mlp
+    k, n = 128, 256
+    fc1, fc2 = _mk_mlp(k, n)
+    q1 = quant.quantize_linear_params(fc1)
+    q2 = quant.quantize_linear_params(fc2)
+    x = jnp.zeros((64, k), jnp.bfloat16)
+    out = np.asarray(int8_mlp(x, q1, q2, block_m=32, interpret=True),
+                     np.float32)
+    # zero input -> gelu(b1) @ W2 + b2, no NaN from the 0/absmax guards
+    assert np.isfinite(out).all()
+    ref = jax.nn.gelu(jnp.asarray(fc1["bias"]), approximate=True) \
+        @ fc2["kernel"] + fc2["bias"]
+    assert np.abs(out - np.asarray(ref)).max() < 0.05
+
+
+def test_quant_mlp_dispatch_and_exact_gelu_fallback(monkeypatch):
+    """quant.mlp: exact-erf GELU always takes the unfused path (the
+    kernel is tanh-only), and the CPU backend never calls the kernel."""
+    k, n = 64, 128
+    fc1, fc2 = _mk_mlp(k, n)
+    q1 = quant.quantize_linear_params(fc1)
+    q2 = quant.quantize_linear_params(fc2)
+    x = jnp.asarray(RNG.randn(8, k), jnp.float32)
+    # force "fused": on CPU this would crash inside pallas_call if the
+    # gelu_approx=False guard did not fall back to the unfused path
+    monkeypatch.setattr(quant, "MLP_IMPL", "fused")
+    out = quant.mlp(q1, q2, x, gelu_approx=False)
+    h = quant.linear(q1, x)
+    h = jax.nn.gelu(h, approximate=False)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(quant.linear(q2, h)), atol=1e-6)
+    # "auto" on the CPU test backend -> unfused, tanh flavor
+    monkeypatch.setattr(quant, "MLP_IMPL", "auto")
+    out2 = quant.mlp(q1, q2, x, gelu_approx=True)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_default_block_m_prefers_divisors():
+    from painter_tpu.kernels.int8_mlp import default_block_m
+    assert default_block_m(12544) == 896   # b8 flagship: 896 | 12544
+    assert default_block_m(1568) == 784    # b1 flagship
+    assert 12544 % default_block_m(12544) == 0
+    assert default_block_m(12545) == 512   # ragged fallback
+
+
 def test_engine_and_cli_quant_plumbing(tmp_path):
     """--quant int8 flows from the CLIs into a quantized engine that
     serves an image end-to-end (ensemble path included)."""
