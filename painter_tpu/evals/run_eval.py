@@ -69,10 +69,13 @@ def get_args_parser():
                         "that many local devices (single-process "
                         "multi-chip eval; combine with --num_shards "
                         "for multi-host)")
-    p.add_argument("--quant", default="none", choices=["none", "int8"],
-                   help="int8: w8a8 quantized serving gemms (ops/quant.py)."
-                        " Off by default: the frozen eval protocols run "
-                        "fp-faithful until real-checkpoint parity exists")
+    p.add_argument("--quant", default="none",
+                   choices=["none", "int8", "int8-fused"],
+                   help="int8: w8a8 quantized serving gemms (ops/quant.py);"
+                        " int8-fused routes the MLP through the fused "
+                        "Pallas kernel. Off by default: the frozen eval "
+                        "protocols run fp-faithful until real-checkpoint "
+                        "parity exists")
     p.add_argument("--skip_metrics", action="store_true")
     p.add_argument("--decode_only", action="store_true",
                    help="phase 2 only: score existing painted PNGs in "
@@ -114,9 +117,11 @@ def build_model(args):
     init = model_lib.init_params(jax.random.PRNGKey(0), cfg)
     params = (ckpt_lib.load_torch_params(args.ckpt_path, cfg, init=init)
               if args.ckpt_path else init)
-    if getattr(args, "quant", "none") == "int8":
-        from painter_tpu.ops.quant import quantize_params
-        params = quantize_params(params)
+    if getattr(args, "quant", "none") in ("int8", "int8-fused"):
+        from painter_tpu.ops import quant as quant_lib
+        params = quant_lib.quantize_params(params)
+        if args.quant == "int8-fused":
+            quant_lib.MLP_IMPL = "fused"
     mesh = None
     if getattr(args, "n_dp", 1) > 1:
         from jax.sharding import Mesh

@@ -338,8 +338,10 @@ def main():
     p.add_argument("--max_batch", type=int, default=8,
                    help="micro-batch cap for concurrent /paint requests "
                         "(1 = strict serial)")
-    p.add_argument("--quant", default="none", choices=["none", "int8"],
-                   help="int8: w8a8 quantized serving gemms")
+    p.add_argument("--quant", default="none",
+                   choices=["none", "int8", "int8-fused"],
+                   help="int8: w8a8 quantized serving gemms; int8-fused "
+                        "adds the fused Pallas MLP kernel")
     args = p.parse_args()
     (serve if args.mode == "serve" else ui)(args)
 

@@ -27,10 +27,12 @@ def get_args_parser():
                         help="unused (kept for reference-CLI parity)")
     parser.add_argument("--output_dir", type=str, default="./")
     parser.add_argument("--quant", type=str, default="none",
-                        choices=["none", "int8"],
+                        choices=["none", "int8", "int8-fused"],
                         help="int8: w8a8 quantized serving gemms "
                              "(ops/quant.py; measured speedup + deviation "
-                             "in BASELINE.md)")
+                             "in BASELINE.md); int8-fused additionally "
+                             "routes the MLP through the fused Pallas "
+                             "kernel (measured on-par; kernels/int8_mlp)")
     return parser
 
 
@@ -47,9 +49,11 @@ def prepare_model(ckpt_path, model_name, seg_type, quant="none"):
     init = model_lib.init_params(jax.random.PRNGKey(0), cfg)
     params = (ckpt_lib.load_torch_params(ckpt_path, cfg, init=init)
               if ckpt_path else init)
-    if quant == "int8":
-        from painter_tpu.ops.quant import quantize_params
-        params = quantize_params(params)
+    if quant in ("int8", "int8-fused"):
+        from painter_tpu.ops import quant as quant_lib
+        params = quant_lib.quantize_params(params)
+        if quant == "int8-fused":
+            quant_lib.MLP_IMPL = "fused"
     elif quant != "none":
         raise ValueError(quant)
     return InContextModel(cfg, params, seg_type=seg_type)

@@ -179,6 +179,8 @@ def mlp(fc1: Params, fc2: Params, x: jnp.ndarray,
     impl = MLP_IMPL
     if impl == "auto":
         impl = "fused" if jax.default_backend() == "tpu" else "xla"
+    if impl == "fused" and jax.default_backend() != "tpu":
+        impl = "xla"  # no Mosaic off-TPU: --quant int8-fused degrades safely
     if impl == "fused" and gelu_approx:
         from painter_tpu.kernels.int8_mlp import int8_mlp
         from painter_tpu.parallel import mesh as mesh_lib
