@@ -69,7 +69,10 @@ def _spawn(proc_id: int, port: int, root: str, jp: str, out_dir: str):
                             stderr=subprocess.STDOUT, text=True)
 
 
-def _run_both(port, root, jp, out_dir, timeout=300):
+def _run_both(port, root, jp, out_dir, timeout=600):
+    # 600 s: on a 1-core host the two ranks + the pytest process share
+    # one CPU; with cold compiles a run takes ~250 s in isolation and
+    # can exceed 300 s inside the full suite.
     procs = [_spawn(i, port, root, jp, out_dir) for i in range(2)]
     outs = []
     for p in procs:
