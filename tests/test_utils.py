@@ -227,3 +227,24 @@ def test_tfevents_writer_roundtrip(tmp_path):
     assert ev2[2] == [500]
     # known-answer CRC check (crc32c of b'123456789' is 0xE3069283)
     assert tb_writer._crc32c(b"123456789") == 0xE3069283
+
+
+def test_component_profile_smoke():
+    """The profiling tool runs end-to-end on a tiny model (CPU).
+
+    Checks methodology plumbing only (chains compile, grads flow, all
+    keys emitted) — the numbers themselves are meaningless on CPU."""
+    from painter_tpu import configs
+    from painter_tpu.utils import component_profile as cp
+
+    cfg = configs.tiny_test_config()
+    fwd = cp.profile_forward(cfg, batch=2, attn_impl="xla", n1=1, n2=2,
+                             reps=1)
+    assert {"block_ms", "mlp_ms", "ln_ms", "qkv_proj_ms"} <= set(fwd)
+    assert all(np.isfinite(v) for v in fwd.values())
+
+    bwd = cp.profile_backward(cfg, batch=2, attn_impl="xla", n1=1, n2=2,
+                              reps=1)
+    assert {"block_ms", "attn_sub_ms", "mlp_sub_ms", "decoder_ms",
+            "loss_ms", "patch_embed_ms"} <= set(bwd)
+    assert all(np.isfinite(v) for v in bwd.values())
