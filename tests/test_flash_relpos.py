@@ -290,3 +290,43 @@ def test_flash_relpos_poly3_exp2_matches_native(max_mode):
     for a, b_, name in zip(gp, gn, ["dq", "dk", "dv"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-3, err_msg=name)
+
+
+def test_flash_relpos_bf16_gradients_near_fp32_xla():
+    """bf16 kernel grads vs the fp32 XLA path, within the bf16 operand-
+    rounding envelope.
+
+    Pins the delta-in-matmul-lane backward design: delta = rowsum(do*o)
+    rides appended to do against v's appended minus-ones column, so it
+    enters the dp matmul bf16-rounded exactly like the do/v operands.
+    This bound (rel Frobenius ~1e-2 per leaf) would catch a precision
+    regression if delta's rounding were ever amplified beyond operand
+    rounding."""
+    b, nh, qh, qw, hd = 2, 2, 6, 4, 16
+    L = qh * qw
+    q = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    k = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    v = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    rph = jnp.asarray(RNG.randn(2 * qh - 1, hd), jnp.float32)
+    rpw = jnp.asarray(RNG.randn(2 * qw - 1, hd), jnp.float32)
+    scale = hd ** -0.5
+    gref = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+
+    def loss_ref(q_, k_, v_, rph_, rpw_):
+        return jnp.sum(_xla_ref(q_, k_, v_, rph_, rpw_, (qh, qw),
+                                scale) * gref)
+
+    def loss_bf16(q_, k_, v_, rph_, rpw_):
+        out = flash_attention_relpos(
+            q_.astype(jnp.bfloat16), k_.astype(jnp.bfloat16),
+            v_.astype(jnp.bfloat16), rph_, rpw_, (qh, qw), (qh, qw),
+            scale, block_q=8, exp2_impl="native")
+        return jnp.sum(out.astype(jnp.float32) * gref)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v, rph, rpw)
+    g_bf = jax.grad(loss_bf16, argnums=(0, 1, 2))(q, k, v, rph, rpw)
+    for name, a, b_ in zip("dq dk dv".split(), g_ref, g_bf):
+        ref_n = np.linalg.norm(np.asarray(a))
+        err_n = np.linalg.norm(np.asarray(a) - np.asarray(b_,
+                                                          np.float32))
+        assert err_n / ref_n < 2e-2, (name, err_n / ref_n)
