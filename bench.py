@@ -19,15 +19,74 @@ pairs of trunk compute are load-bearing. The independent-query batched
 path (decode every sample) measures within ~7% (47 img/s at b8,
 BASELINE.md "batched eval painting").
 
+Timing methodology (round 4, after the BENCH_r03 incident): through the
+axon relay ``block_until_ready`` can acknowledge on ENQUEUE — BENCH_r03
+recorded 273,228 pairs/s (~5,000x reality) by timing a pipelined loop
+with it. This bench therefore never trusts ``block_until_ready``:
+
+- **Data-dependent chain + device->host fetch.** Each timed iteration
+  feeds a scalar derived from the previous iteration's painted output
+  back into the next iteration's input, so the device cannot reorder or
+  elide any step, and the loop is closed by fetching the final scalar to
+  the host — actual result bytes must cross the wire, which no transport
+  can fake. Host-side the calls are still enqueued without blocking, so
+  dispatch overlaps compute (the serving steady state).
+- **Blocking latency fetches per call** (the painted output is fetched
+  to host each iteration — which serving does anyway).
+- **Plausibility guards** (``check_plausibility``): the implied compute
+  rate must stay below the v5e's 197-TFLOPS bf16 peak (using the
+  as-executed 1.42 TFLOP/pair from BASELINE.md's corrected roofline),
+  the pipelined per-iter time must be >= 0.3x the blocking per-call
+  time (pipelining can hide dispatch, not compute), and every fetched
+  scalar must be finite. The verdict is printed in the JSON; an
+  implausible measurement raises instead of printing a number.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
+import math
 import os
 import time
 
 import numpy as np
 
 A100_REFERENCE_PAIRS_PER_SEC = 20.0
+
+# v5e bf16 MXU peak; any implied rate above this is a measurement
+# artifact by definition (BASELINE.md "Inference roofline")
+V5E_BF16_PEAK_FLOPS = 197e12
+# as-executed FLOPs per 896x448 in-context pair (BASELINE.md corrected
+# roofline: 419 G x 27 block-apps + patch embed + query-half decode
+# = 11.4 TFLOP per b8 batch)
+FLOPS_PER_PAIR_448 = 11.4e12 / 8
+
+
+def check_plausibility(pairs_per_sec: float, pipelined_iter_s: float,
+                       blocking_iter_s: float, fetched_scalar: float,
+                       flops_per_pair: float = FLOPS_PER_PAIR_448) -> dict:
+    """Guard rails for relay-transport timing artifacts.
+
+    Returns {"ok": bool, "failures": [...], "implied_tflops": float}.
+    Trips on exactly the BENCH_r03 failure mode (an instant-ack timer
+    implying >>peak FLOPS and a pipelined time far below the blocking
+    time) and on non-finite outputs.
+    """
+    failures = []
+    implied = pairs_per_sec * flops_per_pair
+    if not np.isfinite(fetched_scalar):
+        failures.append(f"non-finite output scalar {fetched_scalar}")
+    if implied > V5E_BF16_PEAK_FLOPS:
+        failures.append(
+            f"implied {implied / 1e12:.1f} TFLOPS exceeds the v5e bf16 "
+            f"peak ({V5E_BF16_PEAK_FLOPS / 1e12:.0f}) — timer did not "
+            f"observe device execution")
+    if blocking_iter_s > 0 and pipelined_iter_s < 0.3 * blocking_iter_s:
+        failures.append(
+            f"pipelined iter {pipelined_iter_s * 1e3:.2f} ms < 0.3x "
+            f"blocking iter {blocking_iter_s * 1e3:.2f} ms — pipelining "
+            f"can hide dispatch, not compute")
+    return {"ok": not failures, "failures": failures,
+            "implied_tflops": implied / 1e12}
 
 
 def main():
@@ -63,44 +122,52 @@ def main():
         merge = 0 if batch > 1 else -1  # seggpt_engine.py:46
 
         @jax.jit
-        def fn(params):
+        def fn(params, token):
+            # `token` chains iteration i's input to iteration i-1's
+            # output: the device must fully execute every step of the
+            # timed loop before the final fetch can return. The 1e-30
+            # perturbation is numerically invisible in fp32 inputs but
+            # not foldable by XLA.
+            chained = imgs + token * 1e-30
             # the engines' production path: decode only the query half
-            return m.predict_query_half(params, cfg, imgs, tgts, mask,
-                                        seg_type=seg_type,
-                                        merge_between_batch=merge,
-                                        attn_impl=attn_impl)
+            out = m.predict_query_half(params, cfg, chained, tgts, mask,
+                                       seg_type=seg_type,
+                                       merge_between_batch=merge,
+                                       attn_impl=attn_impl)
+            return out, out.astype(jnp.float32).ravel()[0]
         return fn
 
     def measure(batch, attn_impl, iters=10):
-        """Depth-2 pipelined throughput: keep two steps in flight so the
-        ~35 ms host/relay dispatch latency overlaps compute (the serving
-        steady state) while every completion is still observed — a
-        block-once-at-the-end loop can under-report if the runtime
-        acknowledges enqueues early."""
+        """Pipelined throughput over a data-dependent chain, closed by a
+        device->host scalar fetch (see module docstring)."""
         fn = make_fn(batch, attn_impl)
-        fn(params).block_until_ready()  # compile
+        token = jnp.asarray(0.0, jnp.float32)
+        _, tok = fn(params, token)
+        float(tok)  # compile + warm via a real fetch
         t0 = time.perf_counter()
-        prev = None
         for _ in range(iters):
-            cur = fn(params)
-            if prev is not None:
-                prev.block_until_ready()
-            prev = cur
-        prev.block_until_ready()
+            _, token = fn(params, token)
+        final = float(token)  # actual result bytes cross the wire
         med = (time.perf_counter() - t0) / iters
-        return batch / med, med
+        return batch / med, med, final
 
     def measure_latency(batch, attn_impl, iters=20):
+        """Per-call blocking latency; the painted output is fetched to
+        host each call (np.asarray), as the serving path does."""
         fn = make_fn(batch, attn_impl)
-        fn(params).block_until_ready()
+        token = jnp.asarray(0.0, jnp.float32)
+        out, _ = fn(params, token)
+        np.asarray(out)
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            fn(params).block_until_ready()
+            out, _ = fn(params, token)
+            host = np.asarray(out)
             times.append(time.perf_counter() - t0)
+        assert np.isfinite(host).all(), "non-finite painted output"
         return float(np.median(times))
 
-    best = {"tp": 0.0, "batch": 1, "lat": 0.0, "impl": "xla"}
+    best = None
     # default sweep is trimmed so a bench run stays well under driver
     # timeouts (each ViT-L compile is 1-4 min on the remote-compile path);
     # BENCH_FULL=1 adds the xla comparison and larger batches
@@ -112,14 +179,28 @@ def main():
     for attn_impl, batches in sweep:
         for batch in batches:
             try:
-                tp, lat = measure(batch, attn_impl)
+                tp, med, scalar = measure(batch, attn_impl)
+                blocking = measure_latency(batch, attn_impl, iters=8)
             except Exception as e:  # noqa: BLE001 — OOM at large batch
                 print(f"# skipped {attn_impl} b{batch}: "
                       f"{type(e).__name__}", flush=True)
                 continue
-            if tp > best["tp"]:
-                best = {"tp": tp, "batch": batch, "lat": lat,
-                        "impl": attn_impl}
+            verdict = check_plausibility(tp, med, blocking, scalar)
+            print(f"# {attn_impl} b{batch}: {tp:.2f} pairs/s pipelined "
+                  f"{med * 1e3:.1f} ms, blocking {blocking * 1e3:.1f} ms, "
+                  f"implied {verdict['implied_tflops']:.1f} TFLOPS, "
+                  f"guard={'ok' if verdict['ok'] else verdict['failures']}",
+                  flush=True)
+            if not verdict["ok"]:
+                raise RuntimeError(
+                    f"implausible measurement at {attn_impl} b{batch}: "
+                    f"{verdict['failures']}")
+            if best is None or tp > best["tp"]:
+                best = {"tp": tp, "batch": batch, "lat": med,
+                        "blocking": blocking, "impl": attn_impl,
+                        "verdict": verdict}
+    if best is None:
+        raise RuntimeError("no benchmark point succeeded")
     p50_b1 = measure_latency(1, best["impl"])
 
     print(json.dumps({
@@ -130,6 +211,10 @@ def main():
         "batch": best["batch"],
         "p50_latency_ms_b1": round(p50_b1 * 1000, 1),
         "batch_latency_ms": round(best["lat"] * 1000, 1),
+        "batch_blocking_ms": round(best["blocking"] * 1000, 1),
+        "implied_tflops": round(best["verdict"]["implied_tflops"], 1),
+        "plausibility_guard": "ok",
+        "timing": "data-dependent chain + device->host fetch",
         "dtype": "bfloat16",
         "attn_impl": best["impl"],
     }))

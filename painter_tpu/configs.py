@@ -45,6 +45,19 @@ class ModelConfig:
     # ResBottleneckBlock after these blocks (models_painter.py:232-233);
     # [] in every reference factory.
     residual_block_indexes: Tuple[int, ...] = ()
+    # A genuinely window-trained torch checkpoint stores rel-pos tables
+    # sized (2*window_size-1, hd) for windowed blocks (the reference
+    # sizes each Block's tables by its own attention extent,
+    # models_painter.py:309 via vitdet_utils.py:63-93) — heterogeneous
+    # with the global blocks' full-grid tables. With this flag the param
+    # tree carries a second stacked leaf pair rel_pos_h_win/rel_pos_w_win
+    # at the window size; windowed blocks read those EXACTLY (no
+    # interpolation) and global blocks read the full-grid tables. False
+    # (default) keeps the single full-grid leaves: exact for the released
+    # all-global checkpoints, and windowed blocks derive their table by
+    # linear interpolation (a documented deviation, fine for scratch
+    # training but not for loading a window-trained checkpoint).
+    window_rel_pos_tables: bool = False
     pretrain_img_size: int = 224
     pretrain_use_cls_token: bool = True
     decoder_embed_dim: int = 64

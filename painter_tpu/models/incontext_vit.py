@@ -156,6 +156,15 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
         # reference factories -> zeros).
         blocks["attn"]["rel_pos_h"] = jnp.zeros((depth, 2 * gh - 1, hd))
         blocks["attn"]["rel_pos_w"] = jnp.zeros((depth, 2 * gw - 1, hd))
+        if cfg.window_rel_pos_tables and cfg.window_block_indexes:
+            # window-trained checkpoints: exact (2*ws-1)-entry tables for
+            # the windowed blocks (see configs.window_rel_pos_tables);
+            # global blocks' rows stay zero and are never read
+            ws = cfg.window_size
+            blocks["attn"]["rel_pos_h_win"] = jnp.zeros(
+                (depth, 2 * ws - 1, hd))
+            blocks["attn"]["rel_pos_w_win"] = jnp.zeros(
+                (depth, 2 * ws - 1, hd))
     params["blocks"] = blocks
 
     if cfg.residual_block_indexes:
@@ -299,7 +308,11 @@ def block_apply(bp: Params, x: jnp.ndarray, cfg: ModelConfig, *,
         hw = (h, w)
     rel = None
     if cfg.use_rel_pos:
-        rel = (bp["attn"]["rel_pos_h"], bp["attn"]["rel_pos_w"])
+        if window_size > 0 and "rel_pos_h_win" in bp["attn"]:
+            # window-trained checkpoint tables: exact at the window size
+            rel = (bp["attn"]["rel_pos_h_win"], bp["attn"]["rel_pos_w_win"])
+        else:
+            rel = (bp["attn"]["rel_pos_h"], bp["attn"]["rel_pos_w"])
     att = attention(xn, bp["attn"], cfg.num_heads, hw, rel_pos=rel,
                     impl=attn_impl, kernel_mesh=kernel_mesh)
     if window_size > 0:

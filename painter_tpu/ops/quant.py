@@ -6,7 +6,9 @@ matmuls at 2x the bf16 rate (measured on this chip: 308 TOPS vs 185
 TFLOPS on the ViT-L fc1 shape (12544, 1024)@(1024, 4096), dequant
 epilogue fused for free — /tmp/r3c/int8_micro4.py, 2026-08-17), and the
 inference roofline (BASELINE.md) is gemm-pace-bound: the MLP alone is
-411 of 619 GFLOP per block application.
+210.5 of 419 GFLOP as-executed per block application (corrected
+accounting, BASELINE.md:117-131 — earlier editions double-counted the
+MLP at 411/619).
 
 Scheme — the standard dynamic-activation PTQ recipe:
 - **Weights**: symmetric per-out-channel int8, quantized once at load
@@ -34,8 +36,8 @@ qkv/proj to 45.6 — their per-token act-quant + dequant passes are extra
 VPU/HBM traffic on gemms that are each <0.5 ms (qkv/proj already run at
 ~130 TFLOPS and are 7% of a block; decoder_embed's (12544,16384) int32
 epilogue adds an HBM-scale pass to a stage that is DMA-bound). The MLP
-is 411 of 619 GFLOP per block app, exactly where the 2x int8 MXU rate
-pays. LayerNorms, softmax (fp32, unchanged), and the attention QK/PV
+is 210.5 of 419 GFLOP as-executed per block app (half the FLOPs;
+BASELINE.md:117-131), exactly where the 2x int8 MXU rate pays. LayerNorms, softmax (fp32, unchanged), and the attention QK/PV
 contractions inside the Pallas kernel (bf16 — their logits feed a fp32
 softmax whose inputs must stay sub-LSB-accurate) are never quantized;
 "attn" and "dec" remain selectable targets for experiments.

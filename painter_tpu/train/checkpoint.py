@@ -104,8 +104,6 @@ def convert_torch_state_dict(sd: Dict[str, Any],
         ("blocks", "attn", "qkv", "bias"): ("attn.qkv.bias", None),
         ("blocks", "attn", "proj", "kernel"): ("attn.proj.weight", "T"),
         ("blocks", "attn", "proj", "bias"): ("attn.proj.bias", None),
-        ("blocks", "attn", "rel_pos_h"): ("attn.rel_pos_h", None),
-        ("blocks", "attn", "rel_pos_w"): ("attn.rel_pos_w", None),
         ("blocks", "mlp", "fc1", "kernel"): ("mlp.fc1.weight", "T"),
         ("blocks", "mlp", "fc1", "bias"): ("mlp.fc1.bias", None),
         ("blocks", "mlp", "fc2", "kernel"): ("mlp.fc2.weight", "T"),
@@ -115,6 +113,42 @@ def convert_torch_state_dict(sd: Dict[str, Any],
         arr = stack(tname, (lambda a: a.T) if tf == "T" else (lambda a: a))
         if arr is not None:
             put(path, arr)
+
+    # Rel-pos tables: a window-trained checkpoint sizes each block's
+    # tables by its own attention extent (models_painter.py:309 — window
+    # blocks get (2*window_size-1, hd), global blocks the full grid), so
+    # the per-block shapes can be HETEROGENEOUS. Route window-sized rows
+    # into the rel_pos_{h,w}_win stacked leaves (read exactly, never
+    # interpolated — configs.window_rel_pos_tables) and everything else
+    # into the full-grid leaves; absent rows stay zero and are never
+    # read by the forward.
+    for axis in ("h", "w"):
+        vals = per_block.get(f"attn.rel_pos_{axis}")
+        if vals is None:
+            continue
+        shapes = {v.shape for v in vals.values()}
+        if len(shapes) == 1:
+            put(("blocks", "attn", f"rel_pos_{axis}"),
+                np.stack([vals[i] for i in range(cfg.depth)]))
+            continue
+        win_len = 2 * cfg.window_size - 1
+        hd = next(iter(vals.values())).shape[-1]
+        full_len = max(v.shape[0] for v in vals.values())
+        assert full_len != win_len, (
+            "cannot disambiguate window vs global rel-pos tables: "
+            f"both are length {win_len}")
+        full = np.zeros((cfg.depth, full_len, hd), np.float32)
+        win = np.zeros((cfg.depth, win_len, hd), np.float32)
+        for i, v in vals.items():
+            if v.shape[0] == win_len:
+                win[i] = v
+            else:
+                assert v.shape[0] == full_len, (
+                    f"block {i} rel_pos_{axis} has unexpected length "
+                    f"{v.shape[0]} (window {win_len}, global {full_len})")
+                full[i] = v
+        put(("blocks", "attn", f"rel_pos_{axis}"), full)
+        put(("blocks", "attn", f"rel_pos_{axis}_win"), win)
 
     # per-index ResBottleneckBlock params (blocks.{i}.residual.*)
     for name, vals in per_block.items():
@@ -175,8 +209,15 @@ def params_to_torch_state_dict(params: Params, cfg: ModelConfig) -> Dict:
         sd[f"blocks.{i}.attn.proj.weight"] = b["attn"]["proj"]["kernel"][i].T
         sd[f"blocks.{i}.attn.proj.bias"] = b["attn"]["proj"]["bias"][i]
         if "rel_pos_h" in b["attn"]:
-            sd[f"blocks.{i}.attn.rel_pos_h"] = b["attn"]["rel_pos_h"][i]
-            sd[f"blocks.{i}.attn.rel_pos_w"] = b["attn"]["rel_pos_w"][i]
+            # window-trained param trees export each block's table at its
+            # own size, as the reference stores them (models_painter.py:309)
+            win = ("rel_pos_h_win" in b["attn"]
+                   and i in cfg.window_block_indexes)
+            suffix = "_win" if win else ""
+            sd[f"blocks.{i}.attn.rel_pos_h"] = \
+                b["attn"]["rel_pos_h" + suffix][i]
+            sd[f"blocks.{i}.attn.rel_pos_w"] = \
+                b["attn"]["rel_pos_w" + suffix][i]
         sd[f"blocks.{i}.mlp.fc1.weight"] = b["mlp"]["fc1"]["kernel"][i].T
         sd[f"blocks.{i}.mlp.fc1.bias"] = b["mlp"]["fc1"]["bias"][i]
         sd[f"blocks.{i}.mlp.fc2.weight"] = b["mlp"]["fc2"]["kernel"][i].T

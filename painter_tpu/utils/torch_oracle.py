@@ -68,7 +68,7 @@ def _window_unpartition(win, ws, pad_hw, hw):
     return x[:, :h, :w]
 
 
-def _attn(bp, x, num_heads, use_rel_pos):
+def _attn(bp, x, num_heads, use_rel_pos, windowed=False):
     b, h, w, c = x.shape
     length = h * w
     hd = c // num_heads
@@ -78,8 +78,11 @@ def _attn(bp, x, num_heads, use_rel_pos):
     q, k, v = qkv.reshape(3, b * num_heads, length, hd).unbind(0)
     attn = (q * hd ** -0.5) @ k.transpose(-2, -1)
     if use_rel_pos:
-        rh = _rel_table(h, h, bp["rel_pos_h"])
-        rw = _rel_table(w, w, bp["rel_pos_w"])
+        # window-trained checkpoints carry exact window-sized tables for
+        # windowed blocks (configs.window_rel_pos_tables)
+        suffix = "_win" if windowed and "rel_pos_h_win" in bp else ""
+        rh = _rel_table(h, h, bp["rel_pos_h" + suffix])
+        rw = _rel_table(w, w, bp["rel_pos_w" + suffix])
         rq = q.reshape(b * num_heads, h, w, hd)
         rel_h = torch.einsum("bhwc,hkc->bhwk", rq, rh)
         rel_w = torch.einsum("bhwc,wkc->bhwk", rq, rw)
@@ -122,7 +125,8 @@ def _block(bp, x, cfg, window_size, merge=0):
     if window_size > 0:
         h, w = x.shape[1], x.shape[2]
         x, pad_hw = _window_partition(x, window_size)
-    x = _attn(bp["attn"], x, cfg.num_heads, cfg.use_rel_pos)
+    x = _attn(bp["attn"], x, cfg.num_heads, cfg.use_rel_pos,
+              windowed=window_size > 0)
     if window_size > 0:
         x = _window_unpartition(x, window_size, pad_hw, (h, w))
     if merge > 0:
