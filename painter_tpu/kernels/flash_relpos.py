@@ -435,17 +435,40 @@ def _pack_inputs(q, k, rel_h, rel_w, k_size, scale, rw_tile):
     return qf, kf, rx * beta, ex, fold, reps
 
 
-@functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
 def _flash_core(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
                 rw_tile, num_sub, max_mode, bwd_num_sub, exp2_impl):
-    out, _ = _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
-                        rw_tile, num_sub, max_mode, bwd_num_sub, exp2_impl)
-    return out
+    """Forward kernel + VJP attachment, restructured for remat.
+
+    The kernel forward runs on ``stop_gradient`` inputs and its outputs
+    ``(out, lse)`` are *plain named intermediates* (``checkpoint_name``:
+    "attn_kernel_out"/"attn_lse"); the gradient is attached by
+    :func:`_attach_vjp`, a ``custom_vjp`` whose residuals are exactly
+    ``(q, k, v, rph, rpw, out, lse)``. Why: with the earlier structure
+    (custom_vjp wrapping the pallas call), ``jax.checkpoint``'s backward
+    recompute had to re-run the forward kernel to regenerate the
+    residuals — measured round 3: every remat policy, including
+    "save_attn" (which saves the *post-proj* attention output), re-ran
+    the 2.3 ms forward kernel per block, which is why save_attn tied
+    full remat (713.7 vs 714.4 ms). With out/lse as saveable named
+    values, ``save_only_these_names("attn_kernel_out", "attn_lse")``
+    lets the recompute drop the kernel forward entirely (the pallas fwd
+    call DCEs away) at the same HBM cost as saving the post-proj output.
+    """
+    sg = jax.lax.stop_gradient
+    out, lse = _plain_fwd(sg(q), sg(k), sg(v), sg(rph), sg(rpw), q_size,
+                          k_size, scale, block_q, rw_tile, num_sub,
+                          max_mode, exp2_impl)
+    from jax.ad_checkpoint import checkpoint_name
+    out = checkpoint_name(out, "attn_kernel_out")
+    lse = checkpoint_name(lse, "attn_lse")
+    return _attach_vjp(q, k, v, rph, rpw, out, lse, q_size, k_size,
+                       float(scale), block_q, rw_tile, num_sub, max_mode,
+                       bwd_num_sub, exp2_impl)
 
 
-def _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q, rw_tile,
-               num_sub, max_mode, bwd_num_sub, exp2_impl):
+def _plain_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q, rw_tile,
+               num_sub, max_mode, exp2_impl):
+    """Non-differentiable kernel forward -> (out (bn, lq, hd), lse)."""
     b, nh, lq, hd = q.shape
     lk = k.shape[2]
     rel_h, rel_w = _rel_terms(q, rph, rpw, q_size, k_size)
@@ -454,8 +477,23 @@ def _flash_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q, rw_tile,
     vf = jnp.concatenate(
         [v.reshape(b * nh, lk, hd),
          jnp.ones((b * nh, lk, 1), v.dtype)], axis=-1)
-    out, lse = _fwd_impl(qf, kf, vf, rx, ex, hd, reps, rw_tile, block_q,
-                         num_sub, max_mode, exp2_impl, _use_interpret())
+    return _fwd_impl(qf, kf, vf, rx, ex, hd, reps, rw_tile, block_q,
+                     num_sub, max_mode, exp2_impl, _use_interpret())
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
+def _attach_vjp(q, k, v, rph, rpw, out, lse, q_size, k_size, scale,
+                block_q, rw_tile, num_sub, max_mode, bwd_num_sub,
+                exp2_impl):
+    b, nh, lq, hd = q.shape
+    return out.reshape(b, nh, lq, hd)
+
+
+def _attach_fwd(q, k, v, rph, rpw, out, lse, q_size, k_size, scale,
+                block_q, rw_tile, num_sub, max_mode, bwd_num_sub,
+                exp2_impl):
+    b, nh, lq, hd = q.shape
     return out.reshape(b, nh, lq, hd), (q, k, v, rph, rpw, out, lse)
 
 
@@ -486,12 +524,15 @@ def _flash_bwd(q_size, k_size, scale, block_q, rw_tile, num_sub, max_mode,
         * jnp.asarray(scale, q.dtype) + dq_rel
     # the kernel's dk came from the log2e-pre-scaled qf
     dk = dk * jnp.asarray(1.0 / LOG2E, dk.dtype)
+    # out/lse enter _attach_vjp behind a stop_gradient (they are values
+    # of the non-differentiable forward): their cotangent slots are dead
     return (dq, dk.reshape(b, nh, lk, hd).astype(k.dtype),
             dv.reshape(b, nh, lk, hd).astype(v.dtype),
-            drph.astype(rph.dtype), drpw.astype(rpw.dtype))
+            drph.astype(rph.dtype), drpw.astype(rpw.dtype),
+            jnp.zeros_like(out), jnp.zeros_like(lse))
 
 
-_flash_core.defvjp(_flash_fwd, _flash_bwd)
+_attach_vjp.defvjp(_attach_fwd, _flash_bwd)
 
 
 def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
@@ -547,12 +588,17 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
         else:
             num_sub = 4 if rw_tile else 2
     if bwd_num_sub is None:
-        # measured (2026-08-17): the unsplit backward wins in isolation
-        # (6.65 ms fwd+bwd vs sub4's 6.87, with the kernel's raised
-        # scoped-VMEM budget) but LOSES ~3% end-to-end in the remat
-        # train step — its 19.6 MB VMEM residency starves the
-        # surrounding pipeline. Keep the sub4 split as the default.
-        bwd_num_sub = 4 if rw_tile else 2
+        # Round-3 measurement (save_attn remat, where the recompute ran
+        # the forward kernel adjacent to the backward): the unsplit
+        # backward won in isolation (6.65 vs 6.87 ms) but lost ~3% e2e —
+        # its 19.6 MB VMEM residency starved the pipeline. Round 4
+        # re-measured under "save_kernel" remat (no forward kernel left
+        # in the backward at all): the landscape flipped — e2e train
+        # step sub1 651.6 ms vs sub2 655.1 vs sub4 655.4 (B=8 ViT-L
+        # 896x448, 2026-08-18) — so the flagship fold-h default is now
+        # the unsplit backward. The fold-w shapes (COCO-eval 560) keep
+        # sub2 (their round-3 sweep; not re-measured at 560).
+        bwd_num_sub = 1 if rw_tile else 2
     if block_q is None:
         if lq < 784:
             block_q = max(8, (lq + 7) // 8 * 8)

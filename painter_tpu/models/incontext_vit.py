@@ -439,10 +439,36 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
         if not remat:
             return fn
         if remat_policy == "save_attn":
-            # keep each block's attention output (+25 MB/block at ViT-L
-            # b8) so recompute re-runs only LN/gemms/MLP, not the kernel
+            # keep each block's post-proj attention output (+25 MB/block
+            # at ViT-L b8). Round-4 correction: this does NOT skip the
+            # attention-kernel recompute — the kernel's custom-vjp
+            # residuals (out, lse) still had to be regenerated, which is
+            # why this policy measured equal to full remat (713.7 vs
+            # 714.4 ms). Kept for comparison; prefer "save_kernel".
             policy = jax.checkpoint_policies.save_only_these_names(
                 "attn_out")
+            return jax.checkpoint(fn, policy=policy)
+        if remat_policy == "save_kernel":
+            # keep the flash kernel's own outputs (out 25 MB + lse
+            # 0.8 MB per block at ViT-L b8): the kernel forward is named
+            # via checkpoint_name inside flash_relpos._flash_core, so
+            # the backward recompute drops the pallas fwd call entirely
+            # and re-runs only LN/gemms/MLP — same HBM cost as
+            # "save_attn" but actually skips the 2.3 ms/block kernel
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_kernel_out", "attn_lse")
+            return jax.checkpoint(fn, policy=policy)
+        if remat_policy == "save_kernel_attn":
+            # save_kernel + the post-proj output (prunes one proj gemm
+            # from the recompute for +25 MB/block more HBM traffic)
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_kernel_out", "attn_lse", "attn_out")
+            return jax.checkpoint(fn, policy=policy)
+        if remat_policy == "save_kernel_mlp":
+            # save_kernel + the fc1 pre-activation (gemm-free MLP
+            # recompute at +100 MB/block HBM traffic)
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_kernel_out", "attn_lse", "mlp_fc1")
             return jax.checkpoint(fn, policy=policy)
         if remat_policy == "save_attn_mlp":
             # also keep the fc1 pre-activation (+100 MB/block at ViT-L

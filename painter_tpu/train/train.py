@@ -67,15 +67,18 @@ def get_args_parser():
                    default=True,
                    help="activation checkpointing (--no-remat is ~9%% "
                         "faster at per-chip batch 2 and fits in 16G)")
-    p.add_argument("--remat_policy", default="save_attn",
-                   choices=["full", "save_attn", "save_attn_mlp",
-                            "save_dots"],
-                   help="'save_attn' keeps each block's attention output "
-                        "(+25 MB/block at b8) so the backward recompute "
-                        "skips the attention kernel; 'save_attn_mlp' "
-                        "additionally keeps the fc1 pre-activation "
-                        "(+100 MB/block, gemm-free recompute); "
-                        "'save_dots' keeps every matmul output")
+    p.add_argument("--remat_policy", default="save_kernel",
+                   choices=["full", "save_attn", "save_kernel",
+                            "save_kernel_attn", "save_kernel_mlp",
+                            "save_attn_mlp", "save_dots"],
+                   help="'save_kernel' (default) keeps the flash kernel's "
+                        "out+lse (+26 MB/block at b8) so the backward "
+                        "recompute actually skips the attention kernel; "
+                        "'save_attn' keeps the post-proj output (measured "
+                        "equal to full remat — kept for comparison); "
+                        "'save_attn_mlp' additionally keeps the fc1 "
+                        "pre-activation (+100 MB/block, gemm-free "
+                        "recompute); 'save_dots' keeps every matmul output")
     p.add_argument("--attn_impl", default=None,
                    help="xla | pallas (default: pallas on TPU)")
     p.add_argument("--decoder_impl", default="auto",

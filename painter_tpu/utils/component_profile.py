@@ -257,10 +257,18 @@ def profile_backward(cfg: ModelConfig, batch: int = 8,
     H, W = cfg.img_size
     out: Dict[str, float] = {}
 
-    if remat_policy == "save_attn":
-        policy = jax.checkpoint_policies.save_only_these_names("attn_out")
-    elif remat_policy is None:
+    names = {"save_attn": ("attn_out",),
+             "save_kernel": ("attn_kernel_out", "attn_lse"),
+             "save_kernel_attn": ("attn_kernel_out", "attn_lse",
+                                  "attn_out"),
+             "save_kernel_mlp": ("attn_kernel_out", "attn_lse",
+                                 "mlp_fc1"),
+             "save_attn_mlp": ("attn_out", "mlp_fc1")}
+    if remat_policy is None:
         policy = None
+    elif remat_policy in names:
+        policy = jax.checkpoint_policies.save_only_these_names(
+            *names[remat_policy])
     else:
         raise ValueError(remat_policy)
 

@@ -233,7 +233,7 @@ def test_default_selection_shape_aware(monkeypatch):
 
     got = call(56, 28)  # flagship 448: L=1568, fold-h
     assert got == {"block_q": 784, "rw_tile": True, "num_sub": 1,
-                   "bwd_num_sub": 4}
+                   "bwd_num_sub": 1}
     got = call(70, 35)  # COCO-eval 560: L=2450, fold-w, ragged
     assert got == {"block_q": 616, "rw_tile": False, "num_sub": 1,
                    "bwd_num_sub": 2}

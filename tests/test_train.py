@@ -137,7 +137,14 @@ def test_remat_save_attn_policy_grad_equivalence():
     for kw in ({"remat": False}, {"remat": True},
                {"remat": True, "remat_policy": "save_attn"},
                {"remat": True, "remat_policy": "save_attn_mlp"},
-               {"remat": True, "remat_policy": "save_dots"}):
+               {"remat": True, "remat_policy": "save_dots"},
+               # save_kernel names live inside the pallas kernel path —
+               # exercise them (interpret mode on CPU); grads must still
+               # match the XLA-attention baselines to fp32 tolerance
+               {"remat": True, "remat_policy": "save_kernel",
+                "attn_impl": "pallas"},
+               {"remat": True, "remat_policy": "save_kernel_mlp",
+                "attn_impl": "pallas"}):
         s = step_lib.init_train_state(params, optimizer)
         step = jax.jit(step_lib.make_train_step(cfg, optimizer,
                                                 accum_iter=1, **kw))
@@ -150,6 +157,42 @@ def test_remat_save_attn_policy_grad_equivalence():
             np.testing.assert_allclose(np.asarray(flat[k]),
                                        np.asarray(outs[0][1][k]),
                                        atol=1e-5, err_msg=k)
+
+
+def test_save_kernel_policy_prunes_fwd_kernel_recompute():
+    """The save_kernel remat policy must drop the flash forward kernel
+    from the backward recompute — single-device AND under shard_map on
+    a mesh (GSPMD kernel path). Counted at the jaxpr level: 6 blocks =
+    6 fwd + 6 bwd pallas calls when pruned, +6 recompute-fwd when not.
+    Round-4 finding: every earlier policy (incl. save_attn) re-ran the
+    forward kernel to regenerate the custom-vjp residuals, which is why
+    save_attn measured equal to full remat (713.7 vs 714.4 ms on-chip);
+    save_kernel measured 650.9 ms = 12.29 samples/s at B=8 ViT-L."""
+    cfg = configs.tiny_test_config(embed_dim=256, num_heads=4,
+                                   drop_path_rate=0.0)
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    oc = optim.OptimConfig(steps_per_epoch=10)
+    optimizer = optim.make_optimizer(params, cfg, oc)
+    state = step_lib.init_train_state(params, optimizer)
+    batch = _toy_batch(cfg, 1, 8)
+
+    def count_pallas(mesh):
+        counts = {}
+        for pol in ("save_attn", "save_kernel"):
+            step = step_lib.make_train_step(cfg, optimizer, remat=True,
+                                            remat_policy=pol,
+                                            attn_impl="pallas", mesh=mesh)
+            s = str(jax.make_jaxpr(step)(state, batch,
+                                         jax.random.PRNGKey(1)))
+            counts[pol] = s.count("pallas_call")
+        return counts
+
+    single = count_pallas(None)
+    assert single == {"save_attn": 18, "save_kernel": 12}, single
+    mesh = mesh_lib.make_mesh(4, 2)
+    with mesh:
+        sharded = count_pallas(mesh)
+    assert sharded == {"save_attn": 18, "save_kernel": 12}, sharded
 
 
 def test_sharded_train_step_on_mesh():
