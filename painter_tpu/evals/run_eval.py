@@ -190,13 +190,15 @@ def paint_predictions(args, model) -> list:
             outs = model.run_one_image(imgs, tgts)[None]
         else:
             # batched independent-query path (pad the tail chunk so one
-            # compiled shape serves the whole sweep)
-            from painter_tpu.infer.engine import build_query_batch
+            # compiled shape serves the whole sweep); the shared-prompt
+            # variant uploads only the query halves — the prompt pair
+            # ships once and broadcasts in-graph
             real = len(queries)
             while len(queries) < bs:
                 queries.append(queries[0])
-            imgs, tgts = build_query_batch(queries, img2, tgt2)
-            outs = model.run_queries(imgs, tgts, real_count=real)
+            outs = model.run_queries_shared(
+                np.stack(queries).astype(np.float32), img2, tgt2,
+                real_count=real)
         for path, size, out in zip(chunk, sizes, outs):
             out = scale_and_resize(out, size, spec)
             base = os.path.splitext(os.path.basename(path))[0] + ".png"
@@ -247,7 +249,6 @@ def run_sidd_mat(args, model) -> Optional[dict]:
     tgt2 = _load_rgb(args.prompt_target, res)
     os.makedirs(args.output_dir, exist_ok=True)
 
-    from painter_tpu.infer.engine import build_query_batch
     bs = max(1, args.batch_size)
     restored = np.zeros_like(noisy)
     flat = [(i, j) for i in range(n_img) for j in range(n_blk)]
@@ -257,8 +258,9 @@ def run_sidd_mat(args, model) -> Optional[dict]:
         real = len(queries)
         while len(queries) < bs:
             queries.append(queries[0])
-        imgs, tgts = build_query_batch(queries, img2, tgt2)
-        outs = model.run_queries(imgs, tgts, real_count=real)
+        outs = model.run_queries_shared(
+            np.stack(queries).astype(np.float32), img2, tgt2,
+            real_count=real)
         for (i, j), out in zip(chunk, outs):
             out = scale_and_resize(out, noisy[i, j].shape[1::-1],
                                    TASK_SPECS["restoration"])

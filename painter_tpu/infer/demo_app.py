@@ -153,7 +153,7 @@ def _run_video(model, req):
     """/paint_video: in-memory frames through the rolling-cache engine."""
     import numpy as np
     from PIL import Image
-    from painter_tpu.infer.engine import run_video_frames
+    from painter_tpu.infer.engine import run_video_frames_device
     res = model.cfg.img_size[1]
     frames = [_decode_b64_image(f) for f in req["frames"]]
     p_tgt = np.array(Image.fromarray(
@@ -165,8 +165,8 @@ def _run_video(model, req):
             _decode_b64_image(req["prompt_image"])).resize(
                 (res, res))) / 255.0
     num_frames = int(req.get("num_frames", 4))
-    outs = run_video_frames(model, frames, p_tgt, num_frames,
-                            img2=img2, res=res)
+    outs = run_video_frames_device(model, frames, p_tgt, num_frames,
+                                   img2=img2, res=res)
     return [_encode_b64_image(o) for o in outs]
 
 
@@ -196,6 +196,23 @@ def serve(args, ready_event=None):
                 with video_lock:
                     frames = _run_video(model, req)
                 body = json.dumps({"frames": frames}).encode()
+            elif self.path == "/paint_point":
+                # SAM-assisted route (app_gradio.py:151-179): points ->
+                # mask via the registered segmenter -> same pair flow
+                if _POINT_SEGMENTER is None:
+                    self.send_error(
+                        501, "no point segmenter registered (needs "
+                             "external SAM weights; see "
+                             "register_point_segmenter)")
+                    return
+                p_img, p_tgt = point_prompt_to_pair(
+                    _decode_b64_image(req["prompt_image"]),
+                    req["points"], req["labels"])
+                out = batcher.submit(
+                    _decode_b64_image(req["image"]), p_img, p_tgt)
+                body = json.dumps(
+                    {"output": _encode_b64_image(out),
+                     "prompt_target": _encode_b64_image(p_tgt)}).encode()
             else:
                 self.send_error(404)
                 return
@@ -213,6 +230,67 @@ def serve(args, ready_event=None):
     if ready_event is not None:
         ready_event.set()
     server.serve_forever()
+
+
+# ---------------------------------------------------------------------------
+# SAM-assisted point/scribble prompting seam
+# ---------------------------------------------------------------------------
+# The reference demo's first two tabs run the user's clicked points
+# through SAM to synthesize the prompt mask before SegGPT paints
+# (``SegGPT/app_gradio.py:14-36,151-179``). SAM's released weights are
+# external to both repos (and not available in this sandbox), so the
+# integration point is an explicit registry: anything with the
+# SamPredictor-shaped signature below plugs in — a JAX SAM port, a torch
+# SamPredictor wrapper, or a heuristic. Until one is registered, the
+# point routes report 501 with this explanation and the drawing-prompt
+# flow (hand-drawn mask) covers the UX.
+
+_POINT_SEGMENTER = None
+
+
+def register_point_segmenter(fn):
+    """Register the point->mask model for SAM-assisted prompting.
+
+    ``fn(image_rgb_uint8 (H, W, 3), point_coords (N, 2) float xy,
+    point_labels (N,) int {0,1}) -> mask (H, W) bool-like`` — the
+    ``SamPredictor.predict`` contract (app_gradio.py:27-36). Pass None
+    to unregister."""
+    global _POINT_SEGMENTER
+    _POINT_SEGMENTER = fn
+
+
+def load_point_segmenter(spec: str):
+    """Load and register a segmenter from a '<module>:<attr>' spec
+
+    (the ``--point_segmenter`` CLI flag): the attr is called with no
+    arguments and must return the predict fn, so SAM-weight loading
+    stays inside the plugin."""
+    import importlib
+    mod, _, attr = spec.partition(":")
+    factory = getattr(importlib.import_module(mod), attr)
+    register_point_segmenter(factory())
+
+
+def point_prompt_to_pair(image, point_coords, point_labels):
+    """(image, clicked points) -> (prompt_image, white-mask target).
+
+    The SAM seam's output feeds the same pair flow as the hand-drawn
+    mask (app_gradio.py:41-45 builds the identical white-on-black
+    target from SAM's mask)."""
+    import numpy as np
+    if _POINT_SEGMENTER is None:
+        raise RuntimeError(
+            "no point segmenter registered: SAM-assisted prompting "
+            "needs external SAM weights — register one via "
+            "register_point_segmenter()/--point_segmenter, or use the "
+            "drawing-prompt flow")
+    img = np.asarray(image)[..., :3]
+    mask = np.asarray(_POINT_SEGMENTER(
+        img, np.asarray(point_coords, np.float32),
+        np.asarray(point_labels, np.int32)))
+    tgt = np.repeat((mask > 0).astype(np.uint8)[..., None] * 255, 3,
+                    axis=-1)
+    return img, tgt
 
 
 def _mask_prompt_to_pair(prompt):
@@ -271,7 +349,7 @@ def ui(args):
         import cv2
         import numpy as np
         import tempfile
-        from painter_tpu.infer.engine import run_video_frames
+        from painter_tpu.infer.engine import run_video_frames_device
         p_img, p_tgt = _mask_prompt_to_pair(prompt)
         res = model.cfg.img_size[1]
         from PIL import Image
@@ -291,8 +369,9 @@ def ui(args):
 
         out_path = tempfile.mktemp(suffix=".mp4")
         writer = None
-        for comp in run_video_frames(model, frames(), tgt2, num_frames,
-                                     img2=img2, res=res):
+        for comp in run_video_frames_device(model, frames(), tgt2,
+                                            num_frames, img2=img2,
+                                            res=res):
             if writer is None:
                 writer = cv2.VideoWriter(
                     out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
@@ -342,7 +421,14 @@ def main():
                    choices=["none", "int8", "int8-fused"],
                    help="int8: w8a8 quantized serving gemms; int8-fused "
                         "adds the fused Pallas MLP kernel")
+    p.add_argument("--point_segmenter", default=None,
+                   help="'<module>:<factory>' plugin for SAM-assisted "
+                        "point prompting (/paint_point): the factory "
+                        "returns a SamPredictor-shaped predict fn — "
+                        "SAM weights are external to both repos")
     args = p.parse_args()
+    if args.point_segmenter:
+        load_point_segmenter(args.point_segmenter)
     (serve if args.mode == "serve" else ui)(args)
 
 

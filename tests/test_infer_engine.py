@@ -125,10 +125,36 @@ def test_video_binarization_threshold(tiny_model, tmp_path, monkeypatch):
     monkeypatch.setattr(engine, "build_prompt_batch", spy)
     engine.inference_video(tiny_model, vid, num_frames=2, img2_paths=None,
                            tgt2_paths=[tgt], out_path=str(tmp_path / "o.mp4"),
-                           res=tiny_model.cfg.img_size[1])
+                           res=tiny_model.cfg.img_size[1],
+                           cache_impl="host")  # the spied path
     # by the second frame the cache holds a binarized previous prediction
     cached_targets = captured[-1][1:]
     assert cached_targets and all(t.max() == 1.0 for t in cached_targets)
+
+
+def test_video_device_engine_matches_host_cache(tiny_model):
+    """The device-resident rolling-cache engine (VideoEngine) must paint
+    the same frames as the host-cache path: same normalize math (fp32),
+    same FIFO semantics, same weight-0 bucket padding. Runs enough
+    frames to exercise bucket growth 1->2->4 AND the circular overwrite
+    of a full cache."""
+    rng = np.random.RandomState(3)
+    res = tiny_model.cfg.img_size[1]
+    frames = [(rng.rand(40, 52, 3) * 255).astype(np.uint8)
+              for _ in range(7)]
+    tgt2 = (rng.rand(res, res, 1) > 0.5).astype(np.float32) \
+        .repeat(3, axis=-1)
+    host = list(engine.run_video_frames(tiny_model, frames, tgt2,
+                                        num_frames=2, res=res))
+    dev = list(engine.run_video_frames_device(tiny_model, frames, tgt2,
+                                              num_frames=2, res=res))
+    assert len(host) == len(dev) == 6
+    for i, (a, b) in enumerate(zip(host, dev)):
+        # uint8 composites; allow the odd +-1 rounding step from fp32
+        # reassociation between the host and in-graph normalize
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert diff.max() <= 1 and (diff > 0).mean() < 0.01, \
+            (i, diff.max(), (diff > 0).mean())
 
 
 def test_painter_task_specs(tiny_model, tmp_path):
@@ -163,6 +189,29 @@ def test_run_queries_matches_per_image(tiny_model):
         i1, t1 = engine.build_prompt_batch(q, [(img2, tgt2)])
         ref = tiny_model.run_one_image(i1, t1)
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_run_queries_shared_matches_stacked(tiny_model):
+    """The shared-prompt fast path (queries-only upload, in-graph
+    normalize/stitch) == the stacked-batch path == the per-image loop."""
+    rng = np.random.RandomState(5)
+    res = tiny_model.cfg.img_size[1]
+    img2 = rng.rand(res, res, 3)
+    tgt2 = rng.rand(res, res, 3)
+    queries = [rng.rand(res, res, 3) for _ in range(3)]
+    imgs, tgts = engine.build_query_batch(queries, img2, tgt2)
+    stacked = tiny_model.run_queries(imgs, tgts)
+    shared = tiny_model.run_queries_shared(
+        np.stack(queries).astype(np.float32), img2, tgt2)
+    np.testing.assert_allclose(shared, stacked, atol=1e-5)
+    # prompt device cache: same arrays -> cache hit, new arrays -> miss
+    key = tiny_model._prompt_dev_cache[0]
+    tiny_model.run_queries_shared(
+        np.stack(queries).astype(np.float32), img2, tgt2)
+    assert tiny_model._prompt_dev_cache[0] == key
+    tiny_model.run_queries_shared(
+        np.stack(queries).astype(np.float32), img2.copy(), tgt2)
+    assert tiny_model._prompt_dev_cache[0] != key
 
 
 def test_run_queries_mesh_sharded(tiny_model):

@@ -121,6 +121,39 @@ def test_demo_app_http_endpoint():
     f0 = Image.open(io.BytesIO(base64.b64decode(vout["frames"][0])))
     assert f0.size == (24, 20)
 
+    # /paint_point: 501 until a SAM-shaped segmenter is registered
+    # (external weights — see demo_app.register_point_segmenter), then
+    # points -> mask -> same pair flow
+    preq = {"image": req["image"], "prompt_image": req["prompt_image"],
+            "points": [[12.0, 10.0]], "labels": [1]}
+
+    def post_point():
+        return urllib.request.urlopen(urllib.request.Request(
+            "http://127.0.0.1:18947/paint_point",
+            json.dumps(preq).encode(),
+            {"Content-Type": "application/json"}), timeout=60)
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post_point()
+    assert exc.value.code == 501
+
+    def fake_sam(img, coords, labels):
+        m = np.zeros(img.shape[:2], bool)
+        x, y = int(coords[0][0]), int(coords[0][1])
+        m[max(0, y - 4):y + 4, max(0, x - 4):x + 4] = labels[0] > 0
+        return m
+
+    demo_app.register_point_segmenter(fake_sam)
+    try:
+        pout = json.loads(post_point().read())
+        pimg = Image.open(io.BytesIO(base64.b64decode(pout["output"])))
+        assert pimg.size == (24, 20)
+        ptgt = np.asarray(Image.open(
+            io.BytesIO(base64.b64decode(pout["prompt_target"]))))
+        assert set(np.unique(ptgt)) <= {0, 255} and ptgt.max() == 255
+    finally:
+        demo_app.register_point_segmenter(None)
+
 
 def test_compilation_cache_helper(tmp_path):
     from painter_tpu.utils.cache import enable_compilation_cache
