@@ -8,9 +8,16 @@ distance < dist_thr; score = 1 - normalized mean in-mask distance
 ("maskness"); top-2000 by maskness, matrix NMS (gaussian, sigma 2),
 top-100 by decayed score.
 
-TPU-native: the per-color distance/threshold/maskness pass runs as one
-jitted reduction over the full palette instead of the reference's chunked
-GPU loop; the dynamic-size filtering stays host-side.
+TPU-native (restructured in round 4 after the rehearsal tool measured
+the first cut at ~143 s/image): the whole palette sweep is ONE jitted
+dispatch (``lax.map`` over 800-color chunks) returning only the
+(6400,)-sized per-color stats — the first cut fetched every chunk's
+full (800, H, W) mask tensor to the host (~2 GB/image) and let the
+matrix NMS recompile for every distinct candidate count. Candidate
+masks are regenerated on device for the kept colors only (shape-
+bucketed to powers of two so compiles are O(log) in candidate count),
+the NMS decay + top-k runs on device, and only the final top-``max_num``
+masks ever cross to the host.
 """
 from __future__ import annotations
 
@@ -21,20 +28,67 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from painter_tpu.ops.nms import mask_matrix_nms
+from painter_tpu.ops.nms import matrix_nms_scores
 from painter_tpu.ops.palette import coco_instance_palette
+
+# sentinel pad color: sum-L1 distance >= ~3e6 to any uint8 pixel, so it
+# can never pass a threshold or win a nearest-color assignment
+_PAD_COLOR = 1.0e6
+
+
+def _bucket(n: int, floor: int = 8) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_palette(palette: np.ndarray, multiple: int) -> np.ndarray:
+    padk = -len(palette) % multiple
+    if not padk:
+        return palette
+    return np.concatenate(
+        [palette, np.full((padk, 3), _PAD_COLOR, np.float32)])
+
+
+@functools.partial(jax.jit, static_argnames=("dist_thr", "n_chunks"))
+def _palette_stats(segm: jnp.ndarray, palette: jnp.ndarray,
+                   dist_thr: float, n_chunks: int):
+    """(H, W, 3) x (K, 3) -> per-color (num_pos (K,), maskness_neg (K,)).
+
+    One dispatch for the whole palette; ``lax.map`` over chunks bounds
+    the live (chunk, H, W) distance tensor (the reference's chunked GPU
+    loop, COCOCAInstSegEvaluatorCustom.py:282, for the same reason)."""
+    chunks = palette.reshape(n_chunks, -1, 3)
+
+    def body(chunk):
+        dist = jnp.abs(segm[None] - chunk[:, None, None, :]).sum(-1) / 3.0
+        mask = dist < dist_thr
+        num_pos = mask.sum((1, 2))
+        neg = (dist * mask).sum((1, 2)) / jnp.maximum(num_pos, 1)
+        return num_pos, neg
+
+    num_pos, neg = jax.lax.map(body, chunks)
+    return num_pos.reshape(-1), neg.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("dist_thr",))
-def _candidate_stats(segm: jnp.ndarray, palette: jnp.ndarray,
-                     dist_thr: float):
-    """segm (H, W, 3) -> per-color (mask, num_pos, maskness_neg)."""
-    # (K, H, W): mean-channel L1 distance to each palette color
-    dist = jnp.abs(segm[None] - palette[:, None, None, :]).sum(-1) / 3.0
-    mask = dist < dist_thr
-    num_pos = mask.sum((1, 2))
-    neg = (dist * mask).sum((1, 2)) / jnp.maximum(num_pos, 1)
-    return mask, num_pos, neg
+def _masks_for(segm: jnp.ndarray, colors: jnp.ndarray, dist_thr: float):
+    """Candidate masks for an explicit (bucketed) color list."""
+    dist = jnp.abs(segm[None] - colors[:, None, None, :]).sum(-1) / 3.0
+    return dist < dist_thr
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "max_num"))
+def _nms_topk(masks: jnp.ndarray, scores: jnp.ndarray, kernel: str,
+              sigma: float, max_num: int):
+    """Matrix-NMS decay + top-k, all on device; masks (N, H, W) bool."""
+    labels = jnp.ones(masks.shape[0], jnp.int32)
+    decayed = matrix_nms_scores(masks, labels, scores, kernel=kernel,
+                                sigma=sigma)
+    top_scores, top_idx = jax.lax.top_k(decayed,
+                                        min(max_num, masks.shape[0]))
+    return masks[top_idx], top_scores
 
 
 def decode_instances(segm: np.ndarray,
@@ -42,49 +96,104 @@ def decode_instances(segm: np.ndarray,
                      topk_pre: int = 2000, max_num: int = 100,
                      keep_all: bool = False,
                      colors_per_chunk: int = 800) -> Dict[str, np.ndarray]:
-    """(H, W, 3) painted prediction -> {'masks' (N,H,W), 'scores' (N,)}.
-
-    The palette is processed in chunks of ``colors_per_chunk`` (the
-    reference uses 800, COCOCAInstSegEvaluatorCustom.py:282): a full
-    (6400, H, W) distance tensor would be ~7 GB at COCO image sizes.
-    """
+    """(H, W, 3) painted prediction -> {'masks' (N,H,W), 'scores' (N,)}."""
     full_palette = coco_instance_palette()[:-1].astype(np.float32)
     segm_j = jnp.asarray(segm, jnp.float32)
-
-    masks_list: List[np.ndarray] = []
-    neg_list: List[np.ndarray] = []
-    for dist_thr in dist_thr_list:
-        for start in range(0, len(full_palette), colors_per_chunk):
-            chunk = jnp.asarray(
-                full_palette[start:start + colors_per_chunk])
-            mask, num_pos, neg = _candidate_stats(segm_j, chunk,
-                                                  float(dist_thr))
-            keep = np.asarray(num_pos) > 0
-            if keep.any():
-                masks_list.append(np.asarray(mask)[keep])
-                neg_list.append(np.asarray(neg)[keep])
-
     h, w = segm.shape[:2]
-    if not masks_list:
+
+    # Pass 1 (one dispatch per threshold): per-color stats only.
+    cand_neg: List[float] = []
+    cand_color: List[np.ndarray] = []
+    cand_thr: List[float] = []
+    for dist_thr in dist_thr_list:
+        pal = _pad_palette(full_palette, colors_per_chunk)
+        num_pos, neg = _palette_stats(segm_j, jnp.asarray(pal),
+                                      float(dist_thr),
+                                      len(pal) // colors_per_chunk)
+        k = len(full_palette)
+        num_pos = np.asarray(num_pos)[:k]
+        neg = np.asarray(neg)[:k]
+        kept = np.nonzero(num_pos > 0)[0]
+        cand_neg.extend(neg[kept].tolist())
+        cand_color.extend(full_palette[kept])
+        cand_thr.extend([float(dist_thr)] * len(kept))
+
+    if not cand_neg:
         return {"masks": np.zeros((1, h, w), np.float32),
                 "scores": np.zeros(1, np.float32)}
 
-    masks = np.concatenate(masks_list)
-    neg = np.concatenate(neg_list)
+    neg = np.asarray(cand_neg, np.float32)
     order = np.argsort(neg, kind="stable")[:topk_pre]
-    masks = masks[order]
     neg = neg[order]
     scores = 1.0 - neg / max(float(neg.max()), 1.0)
-    labels = np.ones(len(masks), np.int32)
+
+    # Pass 2: regenerate the kept masks on device (per threshold group,
+    # preserving the maskness order), shape-bucketed.
+    def masks_for_group(thr: float, idxs: np.ndarray) -> jnp.ndarray:
+        colors = np.stack([cand_color[i] for i in idxs])
+        nb = _bucket(len(colors))
+        colors = _pad_palette(colors, nb)[:nb]
+        m = _masks_for(segm_j, jnp.asarray(colors), float(thr))
+        return m[:len(idxs)]
+
+    if len(dist_thr_list) == 1:
+        masks_dev = masks_for_group(dist_thr_list[0], order)
+    else:
+        parts, pos_in_cat, off = [], {}, 0
+        for thr in dist_thr_list:
+            sel = [int(i) for i in order if cand_thr[i] == thr]
+            if sel:
+                parts.append(masks_for_group(thr, np.asarray(sel)))
+                for j, i in enumerate(sel):
+                    pos_in_cat[i] = off + j
+                off += len(sel)
+        # restore the global maskness order across threshold groups
+        gather = jnp.asarray([pos_in_cat[int(i)] for i in order])
+        masks_dev = jnp.concatenate(parts)[gather]
 
     if keep_all:
-        return {"masks": masks.astype(np.float32), "scores": scores}
+        return {"masks": np.asarray(masks_dev, np.float32),
+                "scores": scores}
 
-    scores, labels, masks, _ = mask_matrix_nms(
-        masks, labels, scores, filter_thr=-1, nms_pre=-1, max_num=max_num,
-        kernel="gaussian", sigma=2.0)
-    return {"masks": masks.astype(np.float32),
-            "scores": scores.astype(np.float32)}
+    # Pass 3: device NMS + top-k at a bucketed candidate count.
+    n = len(order)
+    nb = _bucket(n)
+    if nb != n:
+        masks_dev = jnp.concatenate(
+            [masks_dev, jnp.zeros((nb - n, h, w), bool)])
+    scores_dev = jnp.zeros((nb,), jnp.float32).at[:n].set(
+        jnp.asarray(scores))
+    top_masks, top_scores = _nms_topk(masks_dev, scores_dev, "gaussian",
+                                      2.0, max_num)
+    top_masks = np.asarray(top_masks, np.float32)
+    top_scores = np.asarray(top_scores, np.float32)
+    keep = min(max_num, n)
+    return {"masks": top_masks[:keep], "scores": top_scores[:keep]}
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks",))
+def _minmax_assign(segm: jnp.ndarray, palette: jnp.ndarray,
+                   n_chunks: int):
+    """Nearest-palette-color assignment (sum-L1), one dispatch."""
+    chunks = palette.reshape(n_chunks, -1, 3)
+    per = chunks.shape[1]
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        ci, chunk = inp
+        dist = jnp.abs(segm[None] - chunk[:, None, None, :]).sum(-1)
+        k_min = jnp.argmin(dist, 0).astype(jnp.int32)
+        d_min = jnp.min(dist, 0)
+        upd = d_min < best_d
+        best_d = jnp.where(upd, d_min, best_d)
+        best_i = jnp.where(upd, k_min + ci * per, best_i)
+        return (best_d, best_i), None
+
+    init = (jnp.full(segm.shape[:2], jnp.inf, jnp.float32),
+            jnp.zeros(segm.shape[:2], jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_chunks), chunks))
+    return best_d, best_i
 
 
 def decode_instances_minmax(segm: np.ndarray,
@@ -99,18 +208,12 @@ def decode_instances_minmax(segm: np.ndarray,
     Returns {'masks', 'scores', 'classes'}.
     """
     palette = coco_instance_palette().astype(np.float32)  # incl. bg last
-    segm_j = jnp.asarray(segm, jnp.float32)
-    h, w = segm.shape[:2]
-    best_dist = np.full((h, w), np.inf, np.float32)
-    best_idx = np.zeros((h, w), np.int32)
-    for start in range(0, len(palette), colors_per_chunk):
-        chunk = jnp.asarray(palette[start:start + colors_per_chunk])
-        dist = np.asarray(_chunk_dist(segm_j, chunk))  # (K, H, W) sum-L1
-        k_min = dist.argmin(0)
-        d_min = np.take_along_axis(dist, k_min[None], 0)[0]
-        upd = d_min < best_dist
-        best_dist = np.where(upd, d_min, best_dist)
-        best_idx = np.where(upd, k_min.astype(np.int32) + start, best_idx)
+    pal = _pad_palette(palette, colors_per_chunk)
+    best_d, best_i = _minmax_assign(jnp.asarray(segm, jnp.float32),
+                                    jnp.asarray(pal),
+                                    len(pal) // colors_per_chunk)
+    best_dist = np.asarray(best_d)
+    best_idx = np.asarray(best_i)
 
     masks, neg, classes = [], [], []
     for cat in np.unique(best_idx):
@@ -123,10 +226,3 @@ def decode_instances_minmax(segm: np.ndarray,
     return {"masks": np.stack(masks).astype(np.float32),
             "scores": scores.astype(np.float32),
             "classes": np.asarray(classes, np.int32)}
-
-
-@jax.jit
-def _chunk_dist(segm: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, 3) x (K, 3) -> (K, H, W) sum-L1 distances (minmax decode
-    uses the raw channel sum, :203-205)."""
-    return jnp.abs(segm[None] - palette[:, None, None, :]).sum(-1)

@@ -7,12 +7,15 @@ the evaluator where dynamic sizes are fine.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@functools.partial(jax.jit, static_argnames=("kernel",))
 def matrix_nms_scores(masks: jnp.ndarray, labels: jnp.ndarray,
                       scores: jnp.ndarray,
                       kernel: str = "gaussian", sigma: float = 2.0,
