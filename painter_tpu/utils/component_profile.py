@@ -231,7 +231,7 @@ def profile_forward(cfg: ModelConfig, batch: int = 8,
 
 def profile_backward(cfg: ModelConfig, batch: int = 8,
                      attn_impl: str = "pallas",
-                     remat_policy: Optional[str] = "save_attn",
+                     remat_policy: Optional[str] = "save_kernel",
                      n1: int = 16, n2: int = 48, reps: int = 3,
                      include_single: bool = True) -> Dict[str, float]:
     """Backward (fwd+bwd incl. remat recompute) per-component profile.
@@ -388,6 +388,9 @@ def main(argv=None):
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--attn_impl", default="pallas",
                     choices=["pallas", "xla"])
+    ap.add_argument("--remat_policy", default="save_kernel",
+                    help="bwd-mode remat policy (save_kernel is the "
+                         "round-4 production default)")
     ap.add_argument("--n1", type=int, default=16)
     ap.add_argument("--n2", type=int, default=0,
                     help="0 = 64 for fwd, 48 for bwd")
@@ -410,7 +413,8 @@ def main(argv=None):
         print("FWD " + json.dumps(result["fwd"]), flush=True)
     if "bwd" in modes:
         result["bwd"] = profile_backward(
-            cfg, args.batch, args.attn_impl, n1=args.n1,
+            cfg, args.batch, args.attn_impl,
+            remat_policy=args.remat_policy, n1=args.n1,
             n2=args.n2 or 48, reps=args.reps)
         print("BWD " + json.dumps(result["bwd"]), flush=True)
     print("PROFILE " + json.dumps(result), flush=True)
