@@ -95,8 +95,14 @@ def decode_instances(segm: np.ndarray,
                      dist_thr_list: Sequence[float] = (19.0,),
                      topk_pre: int = 2000, max_num: int = 100,
                      keep_all: bool = False,
-                     colors_per_chunk: int = 800) -> Dict[str, np.ndarray]:
-    """(H, W, 3) painted prediction -> {'masks' (N,H,W), 'scores' (N,)}."""
+                     colors_per_chunk: int = 800,
+                     return_device: bool = False) -> Dict[str, np.ndarray]:
+    """(H, W, 3) painted prediction -> {'masks' (N,H,W), 'scores' (N,)}.
+
+    ``return_device=True`` additionally returns the top masks as a
+    device array ('masks_dev') so downstream device-side consumers (the
+    panoptic class vote) avoid a host round trip of the mask stack.
+    """
     full_palette = coco_instance_palette()[:-1].astype(np.float32)
     segm_j = jnp.asarray(segm, jnp.float32)
     h, w = segm.shape[:2]
@@ -119,8 +125,11 @@ def decode_instances(segm: np.ndarray,
         cand_thr.extend([float(dist_thr)] * len(kept))
 
     if not cand_neg:
-        return {"masks": np.zeros((1, h, w), np.float32),
-                "scores": np.zeros(1, np.float32)}
+        out = {"masks": np.zeros((1, h, w), np.float32),
+               "scores": np.zeros(1, np.float32)}
+        if return_device:
+            out["masks_dev"] = jnp.zeros((1, h, w), jnp.float32)
+        return out
 
     neg = np.asarray(cand_neg, np.float32)
     order = np.argsort(neg, kind="stable")[:topk_pre]
@@ -152,8 +161,11 @@ def decode_instances(segm: np.ndarray,
         masks_dev = jnp.concatenate(parts)[gather]
 
     if keep_all:
-        return {"masks": np.asarray(masks_dev, np.float32),
-                "scores": scores}
+        out = {"masks": np.asarray(masks_dev, np.float32),
+               "scores": scores}
+        if return_device:
+            out["masks_dev"] = masks_dev
+        return out
 
     # Pass 3: device NMS + top-k at a bucketed candidate count.
     n = len(order)
@@ -165,10 +177,12 @@ def decode_instances(segm: np.ndarray,
         jnp.asarray(scores))
     top_masks, top_scores = _nms_topk(masks_dev, scores_dev, "gaussian",
                                       2.0, max_num)
-    top_masks = np.asarray(top_masks, np.float32)
-    top_scores = np.asarray(top_scores, np.float32)
     keep = min(max_num, n)
-    return {"masks": top_masks[:keep], "scores": top_scores[:keep]}
+    out = {"masks": np.asarray(top_masks, np.float32)[:keep],
+           "scores": np.asarray(top_scores, np.float32)[:keep]}
+    if return_device:
+        out["masks_dev"] = top_masks[:keep]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("n_chunks",))

@@ -79,8 +79,7 @@ def evaluate(args) -> dict:
     from painter_tpu.evals.instseg import (decode_instances,
                                            decode_instances_minmax)
     from painter_tpu.evals.panoptic import (PQStat,
-                                            combine_semantic_and_instance,
-                                            vote_instance_classes)
+                                            combine_semantic_and_instance)
     from painter_tpu.ops.palette import (coco_semseg_palette,
                                          color_distance_map,
                                          nearest_color_decode)
@@ -92,10 +91,21 @@ def evaluate(args) -> dict:
     gt_by_file = {a["file_name"]: a for a in gt["annotations"]}
 
     palette = jnp.asarray(coco_semseg_palette(), jnp.float32)
-    dist_fn = jax.jit(lambda img: color_distance_map(img, palette,
-                                                     args.dist_type))
     decode_fn = jax.jit(lambda img: nearest_color_decode(img, palette,
                                                          args.dist_type))
+
+    @jax.jit
+    def vote_fn(masks, sem_png):
+        # device-side instance class vote (same math as
+        # panoptic.vote_instance_classes, which stays as the host/test
+        # reference): the full (H, W, 133) distance map never leaves
+        # the device — fetching it cost ~163 MB/image through the
+        # relay and dominated the round-4 dress rehearsal
+        d = color_distance_map(sem_png, palette, args.dist_type)
+        d = d[..., :num_things]
+        prob = 1.0 - d / jnp.maximum(jnp.max(d), 1e-12)
+        mp = jnp.einsum("nhw,hwk->nk", masks.astype(jnp.float32), prob)
+        return jnp.argmax(mp, -1).astype(jnp.int32)
 
     stat = PQStat()
     ap_eval = InstanceAPEvaluator()
@@ -117,14 +127,16 @@ def evaluate(args) -> dict:
             bg = inst["classes"] == 0
             inst = {"masks": inst["masks"][~bg],
                     "scores": inst["scores"][~bg]}
+            masks_dev = jnp.asarray(inst["masks"])
         else:
             inst = decode_instances(inst_png,
                                     dist_thr_list=(args.dist_thr,),
-                                    keep_all=args.with_nms)
-        sem_dist = np.asarray(dist_fn(jnp.asarray(sem_png)))
-        sem_map = np.asarray(decode_fn(jnp.asarray(sem_png)))
-        classes = vote_instance_classes(inst["masks"], sem_dist,
-                                        num_things)
+                                    keep_all=args.with_nms,
+                                    return_device=True)
+            masks_dev = inst.pop("masks_dev")
+        sem_dev = jnp.asarray(sem_png)
+        sem_map = np.asarray(decode_fn(sem_dev))
+        classes = np.asarray(vote_fn(masks_dev, sem_dev))
 
         ann = gt_by_file[base]
         gt_png = np.asarray(Image.open(

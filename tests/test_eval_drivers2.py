@@ -92,6 +92,35 @@ def test_panoptic_driver_instance_ap(tmp_path, extra):
     assert res["AP50"] == pytest.approx(100.0)
 
 
+def test_device_vote_matches_host_reference():
+    """run_panoptic's jitted on-device class vote == the host reference
+    (panoptic.vote_instance_classes) on random masks/paintings."""
+    import jax
+    import jax.numpy as jnp
+    from painter_tpu.evals.panoptic import vote_instance_classes
+    from painter_tpu.ops.palette import (coco_semseg_palette,
+                                         color_distance_map)
+
+    rng = np.random.RandomState(7)
+    h, w, n, num_things = 40, 48, 6, 80
+    sem_png = rng.randint(0, 256, (h, w, 3)).astype(np.float32)
+    masks = (rng.rand(n, h, w) > 0.7).astype(np.float32)
+    pal = jnp.asarray(coco_semseg_palette(), jnp.float32)
+
+    @jax.jit
+    def vote_fn(m, s):
+        d = color_distance_map(s, pal, "abs")[..., :num_things]
+        prob = 1.0 - d / jnp.maximum(jnp.max(d), 1e-12)
+        mp = jnp.einsum("nhw,hwk->nk", m.astype(jnp.float32), prob)
+        return jnp.argmax(mp, -1).astype(np.int32)
+
+    host = vote_instance_classes(
+        masks, np.asarray(color_distance_map(
+            jnp.asarray(sem_png), pal, "abs")), num_things)
+    dev = np.asarray(vote_fn(jnp.asarray(masks), jnp.asarray(sem_png)))
+    np.testing.assert_array_equal(host, dev)
+
+
 def test_pose_driver_perfect_predictions(tmp_path):
     pred_dir = tmp_path / "pred"
     pred_dir.mkdir()
