@@ -235,11 +235,28 @@ def _make_fwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
     return _attn_fwd_kernel
 
 
+# dk/dv accumulator layout: True fuses both into one (lk, 2*hd=128)
+# buffer so the per-query-block accumulator add runs at full 128-lane
+# vreg utilization instead of two half-lane (lk, 64) passes.
+# MEASURED-AND-TIED (2026-08-19, B=8 ViT-L save_kernel train step):
+# 653.2 vs 653.3 ms/step — the accumulator adds are not on the critical
+# path (the bwd is matmul/softmax-bound). Kept selectable; default
+# stays the simpler unfused layout. Numerics identical (interpret-mode
+# gradient parity in tests).
+DKV_FUSED = False
+
+
 def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
-                     ragged: bool, clamp: bool, exp2_impl: str):
+                     ragged: bool, clamp: bool, exp2_impl: str,
+                     dkv_fused: bool):
     def _attn_bwd_kernel(lq_ref, qf_ref, kf_ref, v_ref, rx_ref, ex_ref,
                          do_ref, lse_ref, delta_ref,
-                         dqf_ref, dk_ref, dv_ref, drx_ref):
+                         dqf_ref, dk_ref, *rest):
+        if dkv_fused:  # dk_ref is the fused (lk, 2*hd) [dk | dv] buffer
+            (drx_ref,) = rest
+            dv_ref = None
+        else:
+            dv_ref, drx_ref = rest
         i = pl.program_id(1)
         block_q = qf_ref.shape[1]
         kf = kf_ref[0]
@@ -248,7 +265,8 @@ def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
         @pl.when(i == 0)
         def _():
             dk_ref[0] = jnp.zeros_like(dk_ref[0])
-            dv_ref[0] = jnp.zeros_like(dv_ref[0])
+            if not dkv_fused:
+                dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
         for off, sz in _subtiles(block_q, num_sub):
             # zero the ceil-div padding rows up front: OOB block reads
@@ -289,8 +307,15 @@ def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
             drx_ref[0, pl.ds(off, sz)] = _dot(
                 ds_b, ex_ref[:], trans_b=True).astype(drx_ref.dtype)
             # dk = ds^T @ (q*scale*log2e); log2e is divided out in XLA
-            dk_ref[0] += _dot(ds_b, qf[:, :hd], trans_a=True)
-            dv_ref[0] += _dot(p_b, do, trans_a=True)
+            if dkv_fused:
+                # lane-concat the two (lk, hd) dots into one 128-lane
+                # accumulator add (dk_ref doubles as [dk | dv])
+                dk_ref[0] += jnp.concatenate(
+                    [_dot(ds_b, qf[:, :hd], trans_a=True),
+                     _dot(p_b, do, trans_a=True)], axis=1)
+            else:
+                dk_ref[0] += _dot(ds_b, qf[:, :hd], trans_a=True)
+                dv_ref[0] += _dot(p_b, do, trans_a=True)
     return _attn_bwd_kernel
 
 
@@ -337,11 +362,27 @@ def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
     grid = (bn, pl.cdiv(lq, block_q))
     lq_arr = jnp.full((1,), lq, jnp.int32)
     kw = {} if not interpret else {"interpret": True}
+    dkv_fused = DKV_FUSED
+    if dkv_fused:
+        acc_shapes = (
+            jax.ShapeDtypeStruct((bn, lk, 2 * hd), jnp.float32),  # [dk|dv]
+        )
+        acc_specs = (
+            pl.BlockSpec((1, lk, 2 * hd), lambda b, i, *_: (b, 0, 0)),
+        )
+    else:
+        acc_shapes = (
+            jax.ShapeDtypeStruct((bn, lk, hd), jnp.float32),   # dk
+            jax.ShapeDtypeStruct((bn, lk, hd), jnp.float32),   # dv
+        )
+        acc_specs = (
+            pl.BlockSpec((1, lk, hd), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, lk, hd), lambda b, i, *_: (b, 0, 0)),
+        )
     out_shapes = (
-        jax.ShapeDtypeStruct((bn, lq, hdf), jnp.float32),   # dqf
-        jax.ShapeDtypeStruct((bn, lk, hd), jnp.float32),    # dk (scaled)
-        jax.ShapeDtypeStruct((bn, lk, hd), jnp.float32),    # dv
-        jax.ShapeDtypeStruct((bn, lq, k_x), jnp.float32),   # d(expanded)
+        jax.ShapeDtypeStruct((bn, lq, hdf), jnp.float32),      # dqf
+    ) + acc_shapes + (
+        jax.ShapeDtypeStruct((bn, lq, k_x), jnp.float32),      # d(expanded)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -358,16 +399,15 @@ def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, hdf), lambda b, i, *_: (b, i, 0)),
-            pl.BlockSpec((1, lk, hd), lambda b, i, *_: (b, 0, 0)),
-            pl.BlockSpec((1, lk, hd), lambda b, i, *_: (b, 0, 0)),
+        ) + acc_specs + (
             pl.BlockSpec((1, block_q, k_x), lambda b, i, *_: (b, i, 0)),
         ),
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         _make_bwd_kernel(hd, reps, rw_tile, num_sub,
                          ragged=bool(lq % block_q),
                          clamp=(max_mode == "fixed"),
-                         exp2_impl=exp2_impl),
+                         exp2_impl=exp2_impl, dkv_fused=dkv_fused),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         # Mosaic's default 16 MB scoped-VMEM budget rejects the larger
@@ -376,6 +416,10 @@ def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
             vmem_limit_bytes=64 * 1024 * 1024),
         **kw,
     )(lq_arr, qf, kf, vs, rx, ex, g, lse, delta)
+    if dkv_fused:
+        dqf, dkv, drx = outs
+        return dqf, dkv[..., :hd], dkv[..., hd:], drx
+    return outs
 
 
 def _use_interpret() -> bool:
@@ -463,7 +507,7 @@ def _flash_core(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
     lse = checkpoint_name(lse, "attn_lse")
     return _attach_vjp(q, k, v, rph, rpw, out, lse, q_size, k_size,
                        float(scale), block_q, rw_tile, num_sub, max_mode,
-                       bwd_num_sub, exp2_impl)
+                       bwd_num_sub, exp2_impl, BWD_BLOCK_Q or block_q)
 
 
 def _plain_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q, rw_tile,
@@ -481,24 +525,29 @@ def _plain_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q, rw_tile,
                      num_sub, max_mode, exp2_impl, _use_interpret())
 
 
+# bwd-only query-block override (None = same as the forward's block_q);
+# module-level experiment knob, threaded as a nondiff arg at trace time
+BWD_BLOCK_Q = None
+
+
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
 def _attach_vjp(q, k, v, rph, rpw, out, lse, q_size, k_size, scale,
                 block_q, rw_tile, num_sub, max_mode, bwd_num_sub,
-                exp2_impl):
+                exp2_impl, bwd_block_q):
     b, nh, lq, hd = q.shape
     return out.reshape(b, nh, lq, hd)
 
 
 def _attach_fwd(q, k, v, rph, rpw, out, lse, q_size, k_size, scale,
                 block_q, rw_tile, num_sub, max_mode, bwd_num_sub,
-                exp2_impl):
+                exp2_impl, bwd_block_q):
     b, nh, lq, hd = q.shape
     return out.reshape(b, nh, lq, hd), (q, k, v, rph, rpw, out, lse)
 
 
 def _flash_bwd(q_size, k_size, scale, block_q, rw_tile, num_sub, max_mode,
-               bwd_num_sub, exp2_impl, res, g):
+               bwd_num_sub, exp2_impl, bwd_block_q, res, g):
     q, k, v, rph, rpw, out, lse = res
     b, nh, lq, hd = q.shape
     lk = k.shape[2]
@@ -513,8 +562,8 @@ def _flash_bwd(q_size, k_size, scale, block_q, rw_tile, num_sub, max_mode,
                     * out.astype(jnp.float32), axis=-1, keepdims=True)
     dqf, dk, dv, drx = _bwd_impl(
         qf, kf, v.reshape(b * nh, lk, hd), rx, ex, gs, lse, delta, hd,
-        reps, rw_tile, block_q, bwd_num_sub, max_mode, exp2_impl,
-        _use_interpret())
+        reps, rw_tile, bwd_block_q or block_q, bwd_num_sub, max_mode,
+        exp2_impl, _use_interpret())
     k_fold = k_size[0] if fold == "h" else k_size[1]
     dqs, drf = dqf[..., :hd], dqf[..., hd:hd + k_fold]  # drop lane pad
     drh, drw = (drf, drx) if fold == "h" else (drx, drf)

@@ -281,8 +281,12 @@ def profile_backward(cfg: ModelConfig, batch: int = 8,
             attn_impl=attn_impl)
         return ckpt(fn)(p, x)
 
-    out["block_ms"] = grad_chain_slope_ms(block_body, x_grid, bp,
-                                          n1=n1, n2=n2, reps=reps)
+    def emit(key, val):
+        out[key] = val
+        print(f"BWD[{key}] {val:.3f} ms", flush=True)
+
+    emit("block_ms", grad_chain_slope_ms(block_body, x_grid, bp,
+                                         n1=n1, n2=n2, reps=reps))
 
     def attn_sub_body(x, p, rate, key):
         def fn(bp_, h_):
@@ -296,9 +300,9 @@ def profile_backward(cfg: ModelConfig, batch: int = 8,
             return h_ + m._drop_path(att, rate, key, True)
         return ckpt(fn)(p, x)
 
-    out["attn_sub_ms"] = grad_chain_slope_ms(
+    emit("attn_sub_ms", grad_chain_slope_ms(
         attn_sub_body, x_grid, {"norm1": bp["norm1"], "attn": bp["attn"]},
-        n1=n1, n2=n2, reps=reps)
+        n1=n1, n2=n2, reps=reps))
 
     def mlp_sub_body(x, p, rate, key):
         def fn(bp_, h_):
@@ -308,9 +312,9 @@ def profile_backward(cfg: ModelConfig, batch: int = 8,
             return h_ + m._drop_path(xm, rate, key, True)
         return ckpt(fn)(p, x)
 
-    out["mlp_sub_ms"] = grad_chain_slope_ms(
+    emit("mlp_sub_ms", grad_chain_slope_ms(
         mlp_sub_body, x_grid, {"norm2": bp["norm2"], "mlp": bp["mlp"]},
-        n1=n1, n2=n2, reps=reps)
+        n1=n1, n2=n2, reps=reps))
 
     if cfg.use_rel_pos and attn_impl == "pallas":
         from painter_tpu.kernels.flash_relpos import flash_attention_relpos
@@ -329,8 +333,12 @@ def profile_backward(cfg: ModelConfig, batch: int = 8,
                 q, p["k"], p["v"], p["rh"], p["rw"], (gh, gw), (gh, gw),
                 hd ** -0.5)
 
-        out["kernel_ms"] = grad_chain_slope_ms(kernel_body, q0, kv,
-                                               n1=n1, n2=n2, reps=reps)
+        # the bare-kernel chain runs WITHOUT remat, so every layer holds
+        # its full custom-vjp residuals (~103 MB at ViT-L b8): cap the
+        # long chain at 24 layers — 48 exhausted the 16 GB v5e
+        emit("kernel_ms", grad_chain_slope_ms(
+            kernel_body, q0, kv, n1=min(n1, 8), n2=min(n2, 24),
+            reps=reps))
 
     if include_single:
         from painter_tpu.models.incontext_vit import (forward_decoder,
@@ -344,8 +352,10 @@ def profile_backward(cfg: ModelConfig, batch: int = 8,
                 dp_, cfg, [xg + acc.astype(dt) * 1e-20] * 4)
             return pred.astype(jnp.float32).sum() * 1e-9
 
-        out["decoder_ms"] = grad_repeat_slope_ms(
-            dec_loss, (dec_params, x_grid), reps=reps)
+        # n2=5: nine chained full decoders (~400 MB of conv temps each)
+        # exhausted HBM after the longer kernel chains of this run
+        emit("decoder_ms", grad_repeat_slope_ms(
+            dec_loss, (dec_params, x_grid), n2=5, reps=reps))
 
         imgs = jnp.asarray(rng.randn(batch, H, W, 3), jnp.float32)
         tgts = jnp.asarray(rng.randn(batch, H, W, 3), jnp.float32)
@@ -359,8 +369,8 @@ def profile_backward(cfg: ModelConfig, batch: int = 8,
             return forward_loss(cfg, pred_fake + acc * 1e-20, tg, mask,
                                 valid)
 
-        out["loss_ms"] = grad_repeat_slope_ms(loss_only, (tgts,),
-                                              reps=reps)
+        emit("loss_ms", grad_repeat_slope_ms(loss_only, (tgts,),
+                                             reps=reps))
 
         kern = params["patch_embed"]["kernel"]
         bias = params["patch_embed"]["bias"]
@@ -372,8 +382,8 @@ def profile_backward(cfg: ModelConfig, batch: int = 8,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return (y + bias.astype(dt)).astype(jnp.float32).sum() * 1e-9
 
-        out["patch_embed_ms"] = grad_repeat_slope_ms(embed_loss, (imgs,),
-                                                     reps=reps)
+        emit("patch_embed_ms", grad_repeat_slope_ms(embed_loss, (imgs,),
+                                                    reps=reps))
 
     return {k: round(v, 3) for k, v in out.items()}
 

@@ -206,6 +206,35 @@ def test_flash_relpos_fixed_max_overflow_gradients_finite():
         assert np.isfinite(np.asarray(g)).all(), name
 
 
+def test_dkv_fused_gradients_match_unfused(monkeypatch):
+    """The fused [dk|dv] accumulator layout (DKV_FUSED) is numerically
+    identical to the two-buffer layout — same dots, one lane-concat
+    (measured a perf tie on-chip; kept selectable)."""
+    from painter_tpu.kernels import flash_relpos as fr
+
+    b, nh, qh, qw, hd = 1, 2, 8, 4, 64
+    L = qh * qw
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(b, nh, L, hd) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.randn(b, nh, L, hd) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.randn(b, nh, L, hd) * 0.1, jnp.float32)
+    rph = jnp.asarray(rng.randn(2 * qh - 1, hd) * 0.1, jnp.float32)
+    rpw = jnp.asarray(rng.randn(2 * qw - 1, hd) * 0.1, jnp.float32)
+
+    def loss(q_, k_, v_, rph_, rpw_):
+        return jnp.sum(fr.flash_attention_relpos(
+            q_, k_, v_, rph_, rpw_, (qh, qw), (qh, qw), hd ** -0.5) ** 2)
+
+    grads = {}
+    for fused in (False, True):
+        monkeypatch.setattr(fr, "DKV_FUSED", fused)
+        grads[fused] = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+            q, k, v, rph, rpw)
+    for a, b_ in zip(grads[False], grads[True]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-6)
+
+
 def test_default_selection_shape_aware(monkeypatch):
     """Pin the measured default rules: flagship 448 grid -> bq784,
     ragged long-L (COCO-eval 560, L=2450) -> bq616 capping block_q*L at
