@@ -505,9 +505,23 @@ def _flash_core(q, k, v, rph, rpw, q_size, k_size, scale, block_q,
     from jax.ad_checkpoint import checkpoint_name
     out = checkpoint_name(out, "attn_kernel_out")
     lse = checkpoint_name(lse, "attn_lse")
+    bbq = BWD_BLOCK_Q or _bwd_block_q_default(q.shape[2], block_q, rw_tile)
     return _attach_vjp(q, k, v, rph, rpw, out, lse, q_size, k_size,
                        float(scale), block_q, rw_tile, num_sub, max_mode,
-                       bwd_num_sub, exp2_impl, BWD_BLOCK_Q or block_q)
+                       bwd_num_sub, exp2_impl, bbq)
+
+
+def _bwd_block_q_default(lq, block_q, rw_tile):
+    """Backward-only query-tile default.
+
+    At the flagship fold-h shape the unsplit full-L backward tile wins
+    (bbq sweep 2026-08-19, B=8 ViT-L save_kernel remat: bbq1568 645.2
+    vs fwd-tile 650.3 ms/step; 616 -> 667.4, 392 -> 657.6 — bigger is
+    better here; the backward is residency-tolerant once the forward
+    kernel is pruned out of it). Unmeasured shapes keep the forward
+    tile.
+    """
+    return lq if (rw_tile and lq == 1568) else block_q
 
 
 def _plain_fwd(q, k, v, rph, rpw, q_size, k_size, scale, block_q, rw_tile,

@@ -569,7 +569,9 @@ def forward_decoder(params: Params, cfg: ModelConfig,
     decoder_impl "fused" runs the post-shuffle tail (conv3x3, LN, GELU,
     conv1x1) in one Pallas kernel
     (:mod:`painter_tpu.kernels.decoder_head`) — the full-decode
-    training path's measured hot spot; "xla" is the plain lowering.
+    training path's measured hot spot; "xla" is the plain lowering;
+    "packed" runs the tail with W-pixel pairs packed into the channel
+    dim (see :func:`_decoder_tail_packed`).
     """
     x = jnp.concatenate(list(feats), axis=-1)  # (B, Hp, Wp, 4C)
     dtype = x.dtype
@@ -578,6 +580,13 @@ def forward_decoder(params: Params, cfg: ModelConfig,
     p = cfg.patch_size
     dec = cfg.decoder_embed_dim
     dp = params["decoder_pred"]
+    if decoder_impl == "packed":
+        # shuffle straight into the packed layout: same 6D transpose,
+        # the last two pixels of each W-pair land in one 128-lane row
+        x = x.reshape(b, h, w, p, p, dec)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, h * p, (w * p) // 2, 2 * dec)
+        return _decoder_tail_packed(x, dp, cfg)
     # pixel shuffle: (B, h, w, p*p*dec) -> (B, h*p, w*p, dec)
     x = x.reshape(b, h, w, p, p, dec)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * p, w * p, dec)
@@ -599,6 +608,57 @@ def forward_decoder(params: Params, cfg: ModelConfig,
         x, dp["conv2"]["kernel"].astype(dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + dp["conv2"]["bias"].astype(dtype)
     return x
+
+
+def _decoder_tail_packed(x: jnp.ndarray, dp: Params,
+                         cfg: ModelConfig) -> jnp.ndarray:
+    """Decoder tail on W-pixel pairs packed into channels (training A/B).
+
+    Motivation (backward component profile, BASELINE.md): the xla tail
+    at C=64 lane-pads every (B, 896, 448, 64) activation 2× (784 MB
+    temps for 392 MB of payload) and its convs produce 64-lane outputs
+    (50% MXU). Packing two adjacent W pixels into one 128-lane channel
+    row removes the padding; the conv3x3 becomes a block-structured
+    (3, 3, 2*dec, 2*dec) conv over half the width — 2× the nominal
+    FLOPs at full lane utilization. Math identical to the xla path
+    (same ops, same fp types); grads flow to the canonical
+    (3,3,dec,dec) weights through the packed-kernel construction.
+
+    MEASURED-AND-REJECTED as the training default (2026-08-19, B=8
+    ViT-L save_kernel train step on v5e): 672.5 vs 646.0 ms/step — the
+    doubled conv FLOPs are not hidden; XLA's C=64 conv lowering is
+    better than its 2×-padded temps implied. Kept opt-in
+    (``decoder_impl="packed"``), parity-tested in
+    tests/test_decoder_head.py.
+    """
+    dtype = x.dtype
+    b, hh, wp2, cc = x.shape
+    dec = cc // 2
+    w1 = dp["conv1"]["kernel"].astype(dtype)  # (3, 3, dec, dec)
+    # packed conv kernel: output pixel t of a pair reads input pixel
+    # t + dw (dw = kw - 1); that pixel lives in packed column offset
+    # floor((t+dw)/2) at slot (t+dw) % 2
+    wp = jnp.zeros((3, 3, 2 * dec, 2 * dec), dtype)
+    for t in (0, 1):
+        for dw in (-1, 0, 1):
+            pix = t + dw
+            kwp, u = pix // 2, pix % 2
+            wp = wp.at[:, kwp + 1, u * dec:(u + 1) * dec,
+                       t * dec:(t + 1) * dec].set(w1[:, dw + 1])
+    x = jax.lax.conv_general_dilated(
+        x, wp, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) \
+        + jnp.tile(dp["conv1"]["bias"].astype(dtype), 2)
+    # LN normalizes each pixel's own 64 channels: reshape the packed
+    # pair apart for the (fp32) stats, back together for the rest
+    x = layer_norm(x.reshape(b, hh, wp2, 2, dec), dp["ln"]["scale"],
+                   dp["ln"]["bias"], eps=1e-6).reshape(b, hh, wp2, cc)
+    x = jax.nn.gelu(x, approximate=cfg.gelu_approximate)
+    w2 = dp["conv2"]["kernel"].astype(dtype)[0, 0]  # (dec, 3)
+    w2p = jnp.zeros((2 * dec, 6), dtype)
+    w2p = w2p.at[:dec, :3].set(w2).at[dec:, 3:].set(w2)
+    x = x @ w2p + jnp.tile(dp["conv2"]["bias"].astype(dtype), 2)
+    return x.reshape(b, hh, wp2 * 2, 3)
 
 
 def pixel_mask_from_patch_mask(bool_masked_pos: jnp.ndarray,

@@ -40,7 +40,9 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
     (kernels/decoder_head.py) is implemented and parity-tested but
     measured on-par with XLA's own lowering at the B=8 ViT-L shape on
     v5e (both are layout/DMA-bound, not FLOP-bound), so the plain path
-    stays the default; "fused" selects the kernel explicitly.
+    stays the default; "fused" selects the kernel explicitly; "packed"
+    is the W-pair channel-packed tail (measured-and-rejected at −4%
+    e2e, see incontext_vit._decoder_tail_packed).
     """
     if decoder_impl == "auto":
         decoder_impl = "xla"

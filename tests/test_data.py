@@ -255,13 +255,21 @@ def test_worker_pool_scales_under_load():
                                      seed=0, num_workers=num_workers))
         return time.perf_counter() - t0, batches
 
-    t_serial, b_serial = run(1)
-    t_pool, b_pool = run(4)
-    # identical content and order regardless of worker count
-    assert len(b_serial) == len(b_pool) == 8
-    for bs, bp in zip(b_serial, b_pool):
-        np.testing.assert_array_equal(bs["idx"], bp["idx"])
-        np.testing.assert_array_equal(bs["imgs"], bp["imgs"])
-    # 4 workers on sleep-bound samples: >=2x wall-clock win even with
-    # process startup overhead (generous margin for a loaded 1-core CI)
-    assert t_pool < t_serial / 2.0, (t_serial, t_pool)
+    # timing is load-sensitive (worker startup can be starved when the
+    # 1-core CI box runs something else concurrently): retry the
+    # wall-clock assertion once before failing; content/order checks
+    # are exact on every attempt
+    for attempt in range(2):
+        t_serial, b_serial = run(1)
+        t_pool, b_pool = run(4)
+        # identical content and order regardless of worker count
+        assert len(b_serial) == len(b_pool) == 8
+        for bs, bp in zip(b_serial, b_pool):
+            np.testing.assert_array_equal(bs["idx"], bp["idx"])
+            np.testing.assert_array_equal(bs["imgs"], bp["imgs"])
+        # 4 workers on sleep-bound samples: >=2x wall-clock win even
+        # with process startup overhead
+        if t_pool < t_serial / 2.0:
+            break
+    else:
+        raise AssertionError((t_serial, t_pool))

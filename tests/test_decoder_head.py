@@ -113,15 +113,44 @@ def test_train_step_fused_decoder_matches_xla():
         "valid": jnp.ones((4, h, w, 3), jnp.float32),
     }
     outs = {}
-    for impl in ("xla", "fused"):
+    for impl in ("xla", "fused", "packed"):
         state = step_lib.init_train_state(
             jax.tree_util.tree_map(jnp.copy, params), optimizer)
         step = jax.jit(step_lib.make_train_step(cfg, optimizer,
                                                 decoder_impl=impl))
         state, metrics = step(state, batch, jax.random.PRNGKey(0))
         outs[impl] = (float(metrics["loss"]), state["params"])
-    np.testing.assert_allclose(outs["xla"][0], outs["fused"][0], rtol=1e-5)
-    fx = jax.tree_util.tree_leaves(outs["xla"][1])
-    ff = jax.tree_util.tree_leaves(outs["fused"][1])
-    for a, b in zip(fx, ff):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    for impl in ("fused", "packed"):
+        np.testing.assert_allclose(outs["xla"][0], outs[impl][0],
+                                   rtol=1e-5)
+        fx = jax.tree_util.tree_leaves(outs["xla"][1])
+        ff = jax.tree_util.tree_leaves(outs[impl][1])
+        for a, b in zip(fx, ff):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+
+def test_packed_decoder_matches_xla_fp32():
+    """forward_decoder packed == xla, fp32 (tight) + grads."""
+    from painter_tpu import configs
+    from painter_tpu.models import incontext_vit as m
+
+    cfg = configs.tiny_test_config(drop_path_rate=0.0, dtype="float32")
+    params = m.init_params(jax.random.PRNGKey(2), cfg)
+    gh, gw = cfg.grid_size
+    d = cfg.embed_dim
+    feats = [jnp.asarray(RNG.randn(2, gh, gw, d), jnp.float32) * 0.2
+             for _ in range(4)]
+    wsum = jnp.asarray(RNG.randn(2, *cfg.img_size, 3), jnp.float32)
+
+    def loss(p, impl):
+        return jnp.sum(wsum * m.forward_decoder(p, cfg, feats,
+                                                decoder_impl=impl))
+
+    ref, gref = jax.value_and_grad(loss)(params, "xla")
+    got, ggot = jax.value_and_grad(loss)(params, "packed")
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gref),
+                    jax.tree_util.tree_leaves(ggot)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)

@@ -269,6 +269,14 @@ def test_default_selection_shape_aware(monkeypatch):
     got = call(14, 14)  # short L: one whole block, 8-aligned
     assert got["block_q"] == 200 and got["rw_tile"] is True
 
+    # bwd tile: flagship fold-h gets the measured unsplit full-L
+    # backward tile (645.2 vs 650.3 ms/step); other shapes keep the
+    # forward tile
+    assert fr._bwd_block_q_default(1568, 784, True) == 1568
+    assert fr._bwd_block_q_default(1568, 784, False) == 784
+    assert fr._bwd_block_q_default(2450, 616, False) == 616
+    assert fr._bwd_block_q_default(200, 200, True) == 200
+
 
 def test_exp2_poly3_matches_native():
     """The integer-trick exp2 (softmax attempt #4): rel err <= 1e-4 over
