@@ -281,3 +281,20 @@ def test_component_profile_smoke():
     assert {"block_ms", "attn_sub_ms", "mlp_sub_ms", "decoder_ms",
             "loss_ms", "patch_embed_ms"} <= set(bwd)
     assert all(np.isfinite(v) for v in bwd.values())
+
+
+def test_kernel_stage_profile_smoke():
+    """The stage-marginal kernel profiler runs end-to-end (CPU interpret
+    mode, tiny fold-h shape): all variants compile and emit finite
+    times, and production kernel builders are restored afterwards."""
+    from painter_tpu.kernels import flash_relpos as fr
+    from painter_tpu.utils import kernel_stage_profile as ksp
+
+    orig_f, orig_b = fr._make_fwd_kernel, fr._make_bwd_kernel
+    res = ksp.profile(qh=8, qw=8, batch=1, heads=2, iters=1, reps=1)
+    assert set(res["fwd"]) == set(ksp.FWD_STAGES)
+    assert set(res["bwd"]) == set(ksp.BWD_STAGES)
+    assert all(np.isfinite(v) and v > 0
+               for d in res.values() for v in d.values())
+    assert fr._make_fwd_kernel is orig_f
+    assert fr._make_bwd_kernel is orig_b
