@@ -31,8 +31,12 @@ with it. This bench therefore never trusts ``block_until_ready``:
   the host — actual result bytes must cross the wire, which no transport
   can fake. Host-side the calls are still enqueued without blocking, so
   dispatch overlaps compute (the serving steady state).
-- **Blocking latency fetches per call** (the painted output is fetched
-  to host each iteration — which serving does anyway).
+- **Blocking latency fetches per call.** The guard's blocking
+  reference fetches the same 4-byte scalar as the pipelined loop
+  (symmetric work — a degraded relay link inflates both sides equally,
+  so the 0.3x cross-check never trips on transfer bandwidth alone);
+  the reported p50 serving latency additionally fetches the full
+  painted output, as the serving path does.
 - **Plausibility guards** (``check_plausibility``): the implied compute
   rate must stay below the v5e's 197-TFLOPS bf16 peak (using the
   as-executed 1.42 TFLOP/pair from BASELINE.md's corrected roofline),
@@ -44,7 +48,6 @@ with it. This bench therefore never trusts ``block_until_ready``:
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
-import math
 import os
 import time
 
@@ -104,7 +107,15 @@ def main():
     h, w = cfg.img_size
     length = cfg.num_patches
 
+    fn_cache = {}
+
     def make_fn(batch, attn_impl):
+        # each fresh closure misses jax.jit's in-memory cache, and a
+        # ViT-L compile submission is 1-4 min on the flaky remote-
+        # compile path — reuse the jitted fn across measure/
+        # measure_blocking/measure_latency for the same point
+        if (batch, attn_impl) in fn_cache:
+            return fn_cache[batch, attn_impl]
         rng = np.random.RandomState(0)
         imgs = rng.randn(batch, h, w, 3)
         if batch > 1:
@@ -135,6 +146,7 @@ def main():
                                        merge_between_batch=merge,
                                        attn_impl=attn_impl)
             return out, out.astype(jnp.float32).ravel()[0]
+        fn_cache[batch, attn_impl] = fn
         return fn
 
     def measure(batch, attn_impl, iters=10):
@@ -151,8 +163,26 @@ def main():
         med = (time.perf_counter() - t0) / iters
         return batch / med, med, final
 
+    def measure_blocking(batch, attn_impl, iters=8):
+        """Per-call blocking time with the SAME 4-byte scalar fetch as
+        the pipelined loop — the symmetric reference for the 0.3x
+        plausibility cross-check (a full-output fetch here would let a
+        slow relay link inflate only the blocking side and trip the
+        guard on sound measurements)."""
+        fn = make_fn(batch, attn_impl)
+        token = jnp.asarray(0.0, jnp.float32)
+        _, tok = fn(params, token)
+        float(tok)  # compile + warm
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            _, tok = fn(params, token)
+            float(tok)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
     def measure_latency(batch, attn_impl, iters=20):
-        """Per-call blocking latency; the painted output is fetched to
+        """Per-call serving latency; the painted output is fetched to
         host each call (np.asarray), as the serving path does."""
         fn = make_fn(batch, attn_impl)
         token = jnp.asarray(0.0, jnp.float32)
@@ -180,7 +210,7 @@ def main():
         for batch in batches:
             try:
                 tp, med, scalar = measure(batch, attn_impl)
-                blocking = measure_latency(batch, attn_impl, iters=8)
+                blocking = measure_blocking(batch, attn_impl, iters=8)
             except Exception as e:  # noqa: BLE001 — OOM at large batch
                 print(f"# skipped {attn_impl} b{batch}: "
                       f"{type(e).__name__}", flush=True)

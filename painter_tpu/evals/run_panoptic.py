@@ -76,7 +76,7 @@ def evaluate(args) -> dict:
     from PIL import Image
     from painter_tpu.data.prep import panoptic_png_to_ids
     from painter_tpu.evals.coco_ap import InstanceAPEvaluator, classwise_nms
-    from painter_tpu.evals.instseg import (decode_instances,
+    from painter_tpu.evals.instseg import (_bucket, decode_instances,
                                            decode_instances_minmax)
     from painter_tpu.evals.panoptic import (PQStat,
                                             combine_semantic_and_instance)
@@ -136,7 +136,19 @@ def evaluate(args) -> dict:
             masks_dev = inst.pop("masks_dev")
         sem_dev = jnp.asarray(sem_png)
         sem_map = np.asarray(decode_fn(sem_dev))
-        classes = np.asarray(vote_fn(masks_dev, sem_dev))
+        # instance count varies per image (unique assigned colors /
+        # NMS keep); pad to the power-of-two bucket so vote_fn compiles
+        # once per bucket, not once per distinct N, through the flaky
+        # remote-compile relay (same policy as decode_instances). An
+        # all-zero pad mask contributes a zero vote row, sliced off.
+        n_real = int(masks_dev.shape[0])
+        nb = _bucket(n_real)
+        if nb != n_real:
+            masks_dev = jnp.concatenate(
+                [masks_dev,
+                 jnp.zeros((nb - n_real,) + masks_dev.shape[1:],
+                           masks_dev.dtype)])
+        classes = np.asarray(vote_fn(masks_dev, sem_dev))[:n_real]
 
         ann = gt_by_file[base]
         gt_png = np.asarray(Image.open(

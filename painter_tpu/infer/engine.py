@@ -207,14 +207,19 @@ class InContextModel:
                 pad = n_dp - q % n_dp
                 queries = np.concatenate(
                     [queries, np.repeat(queries[:1], pad, axis=0)])
-        key = (id(img2), id(tgt2), img2.shape, tgt2.shape)
-        if self._prompt_dev_cache is None \
-                or self._prompt_dev_cache[0] != key:
+        # Identity-keyed cache that HOLDS the host arrays: a plain
+        # (id(img2), id(tgt2)) key can collide when CPython recycles a
+        # freed object's address for a same-shaped successor (e.g. the
+        # panoptic rehearsal's instance->semseg prompt swap), silently
+        # serving the stale prompt. Keeping strong references makes the
+        # `is` checks sound.
+        cache = self._prompt_dev_cache
+        if cache is None or cache[0] is not img2 or cache[1] is not tgt2:
             tgt_pair = _np_normalize(np.concatenate([tgt2, tgt2], axis=0))
             self._prompt_dev_cache = (
-                key, jnp.asarray(_np_normalize(img2)),
+                img2, tgt2, jnp.asarray(_np_normalize(img2)),
                 jnp.asarray(tgt_pair))
-        _, img2_dev, tgt2_dev = self._prompt_dev_cache
+        _, _, img2_dev, tgt2_dev = self._prompt_dev_cache
         n = queries.shape[0]
         st_val = 1 if self.seg_type == "instance" else 0
         st = jnp.full((n, 1), st_val, jnp.int32) \

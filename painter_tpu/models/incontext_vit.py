@@ -448,6 +448,15 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
             policy = jax.checkpoint_policies.save_only_these_names(
                 "attn_out")
             return jax.checkpoint(fn, policy=policy)
+        # The 'save_kernel*' policies name tensors that only exist
+        # inside the pallas kernel (flash_relpos._flash_core). Under
+        # attn_impl='xla' those names match nothing and the policy
+        # silently degrades to FULL remat — strictly worse than
+        # 'save_attn', which for the xla path genuinely skips the
+        # attention recompute. Resolve them to the xla-path equivalent
+        # ('attn_out', the post-proj named checkpoint) instead.
+        kernel_names = ("attn_kernel_out", "attn_lse") \
+            if attn_impl == "pallas" else ("attn_out",)
         if remat_policy == "save_kernel":
             # keep the flash kernel's own outputs (out 25 MB + lse
             # 0.8 MB per block at ViT-L b8): the kernel forward is named
@@ -456,19 +465,19 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
             # and re-runs only LN/gemms/MLP — same HBM cost as
             # "save_attn" but actually skips the 2.3 ms/block kernel
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_kernel_out", "attn_lse")
+                *kernel_names)
             return jax.checkpoint(fn, policy=policy)
         if remat_policy == "save_kernel_attn":
             # save_kernel + the post-proj output (prunes one proj gemm
             # from the recompute for +25 MB/block more HBM traffic)
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_kernel_out", "attn_lse", "attn_out")
+                *kernel_names, "attn_out")
             return jax.checkpoint(fn, policy=policy)
         if remat_policy == "save_kernel_mlp":
             # save_kernel + the fc1 pre-activation (gemm-free MLP
             # recompute at +100 MB/block HBM traffic)
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_kernel_out", "attn_lse", "mlp_fc1")
+                *kernel_names, "mlp_fc1")
             return jax.checkpoint(fn, policy=policy)
         if remat_policy == "save_attn_mlp":
             # also keep the fc1 pre-activation (+100 MB/block at ViT-L

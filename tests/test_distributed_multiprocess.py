@@ -11,6 +11,7 @@ published number ran through at 64 ranks.
 """
 import json
 import os
+import shutil
 import socket
 import subprocess
 import sys
@@ -69,7 +70,7 @@ def _spawn(proc_id: int, port: int, root: str, jp: str, out_dir: str):
                             stderr=subprocess.STDOUT, text=True)
 
 
-def _run_both(port, root, jp, out_dir, timeout=600):
+def _run_once(port, root, jp, out_dir, timeout=600):
     # 600 s: on a 1-core host the two ranks + the pytest process share
     # one CPU; with cold compiles a run takes ~250 s in isolation and
     # can exceed 300 s inside the full suite.
@@ -86,6 +87,21 @@ def _run_both(port, root, jp, out_dir, timeout=600):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
     return outs
+
+
+def _run_both(port, root, jp, out_dir, timeout=600):
+    try:
+        return _run_once(port, root, jp, out_dir, timeout)
+    except AssertionError as e:
+        # Gloo's context-init KV exchange has an internal ~30 s deadline;
+        # under full-suite load on a 1-core host one rank can still be
+        # compiling when its peer's allreduce times out
+        # (DEADLINE_EXCEEDED). Retry exactly that contention mode once,
+        # on a fresh port and output dir; any other failure is real.
+        if "DEADLINE_EXCEEDED" not in str(e):
+            raise
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return _run_once(_free_port(), root, jp, out_dir, timeout)
 
 def test_two_process_training(toy_data, tmp_path):
     root, jp = toy_data

@@ -205,13 +205,20 @@ def test_run_queries_shared_matches_stacked(tiny_model):
         np.stack(queries).astype(np.float32), img2, tgt2)
     np.testing.assert_allclose(shared, stacked, atol=1e-5)
     # prompt device cache: same arrays -> cache hit, new arrays -> miss
-    key = tiny_model._prompt_dev_cache[0]
+    dev = tiny_model._prompt_dev_cache[2]
     tiny_model.run_queries_shared(
         np.stack(queries).astype(np.float32), img2, tgt2)
-    assert tiny_model._prompt_dev_cache[0] == key
+    assert tiny_model._prompt_dev_cache[2] is dev
     tiny_model.run_queries_shared(
         np.stack(queries).astype(np.float32), img2.copy(), tgt2)
-    assert tiny_model._prompt_dev_cache[0] != key
+    assert tiny_model._prompt_dev_cache[2] is not dev
+    # the cache must HOLD the host prompt arrays: an id()-only key let
+    # CPython recycle a freed array's address for a same-shaped new
+    # prompt and silently served the stale device tensors (round-4
+    # code-review finding; the panoptic rehearsal's inst->semseg prompt
+    # swap is the realistic trigger)
+    assert tiny_model._prompt_dev_cache[0] is not img2  # the copy
+    assert tiny_model._prompt_dev_cache[1] is tgt2
 
 
 def test_run_queries_mesh_sharded(tiny_model):

@@ -1,4 +1,6 @@
 """Training: optimizer semantics, sharded train step, loss descent."""
+import re
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -193,6 +195,31 @@ def test_save_kernel_policy_prunes_fwd_kernel_recompute():
     with mesh:
         sharded = count_pallas(mesh)
     assert sharded == {"save_attn": 18, "save_kernel": 12}, sharded
+
+
+def test_save_kernel_policy_resolves_on_xla_path():
+    """Under attn_impl='xla' the kernel-named tensors don't exist, so
+    'save_kernel' must resolve to the xla equivalent ('attn_out', i.e.
+    save_attn semantics) rather than silently matching nothing and
+    degrading to FULL remat. Pinned as jaxpr equality with the policy
+    it must resolve to — and inequality with plain full remat."""
+    cfg = configs.tiny_test_config(drop_path_rate=0.0)
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    oc = optim.OptimConfig(steps_per_epoch=10)
+    optimizer = optim.make_optimizer(params, cfg, oc)
+    state = step_lib.init_train_state(params, optimizer)
+    batch = _toy_batch(cfg, 1, 8)
+
+    def jaxpr(pol):
+        step = step_lib.make_train_step(cfg, optimizer, remat=True,
+                                        remat_policy=pol, attn_impl="xla")
+        s = str(jax.make_jaxpr(step)(state, batch, jax.random.PRNGKey(1)))
+        # the policy closure's repr embeds its object address
+        return re.sub(r"0x[0-9a-f]+", "0xADDR", s)
+
+    assert jaxpr("save_kernel") == jaxpr("save_attn")
+    assert jaxpr("save_kernel_mlp") == jaxpr("save_attn_mlp")
+    assert jaxpr("save_kernel") != jaxpr(None)  # None == full remat
 
 
 def test_sharded_train_step_on_mesh():
