@@ -72,6 +72,15 @@ TASK_SPECS = {
 }
 
 
+def _array_digest(a: np.ndarray) -> bytes:
+    """Content digest of a host array (prompt-cache key component)."""
+    import hashlib
+    a = np.ascontiguousarray(a)
+    h = hashlib.blake2b(a.tobytes(), digest_size=16)
+    h.update(str((a.shape, a.dtype)).encode())
+    return h.digest()
+
+
 def _prompt_bucket(n: int) -> int:
     """Next power of two >= n: the prompt-count compile buckets."""
     b = 1
@@ -212,14 +221,18 @@ class InContextModel:
         # freed object's address for a same-shaped successor (e.g. the
         # panoptic rehearsal's instance->semseg prompt swap), silently
         # serving the stale prompt. Keeping strong references makes the
-        # `is` checks sound.
+        # `is` checks sound; a content digest additionally catches
+        # IN-PLACE mutation of the cached arrays (identity unchanged) —
+        # its ~1 ms cost is noise against the model call it guards.
+        fp = (_array_digest(img2), _array_digest(tgt2))
         cache = self._prompt_dev_cache
-        if cache is None or cache[0] is not img2 or cache[1] is not tgt2:
+        if (cache is None or cache[0] is not img2 or cache[1] is not tgt2
+                or cache[2] != fp):
             tgt_pair = _np_normalize(np.concatenate([tgt2, tgt2], axis=0))
             self._prompt_dev_cache = (
-                img2, tgt2, jnp.asarray(_np_normalize(img2)),
+                img2, tgt2, fp, jnp.asarray(_np_normalize(img2)),
                 jnp.asarray(tgt_pair))
-        _, _, img2_dev, tgt2_dev = self._prompt_dev_cache
+        img2_dev, tgt2_dev = self._prompt_dev_cache[3:]
         n = queries.shape[0]
         st_val = 1 if self.seg_type == "instance" else 0
         st = jnp.full((n, 1), st_val, jnp.int32) \
@@ -516,13 +529,18 @@ class VideoEngine:
                 pos = n
                 self._n_real = n + 1
                 if pos >= nb:  # grow to the next bucket (pad rows)
+                    # pad by repeating row 0, matching run_one_image's
+                    # convention ("pads repeat sample 0 so every
+                    # intermediate stays finite") — the weight-0 ensemble
+                    # rows contribute nothing either way, but one padding
+                    # convention keeps the finiteness argument shared
                     grow = _prompt_bucket(pos + 1) - nb
-                    pad = jnp.zeros((grow,) + self._imgs_top.shape[1:],
-                                    self._imgs_top.dtype)
                     self._imgs_top = jnp.concatenate(
-                        [self._imgs_top, pad])
+                        [self._imgs_top,
+                         jnp.repeat(self._imgs_top[:1], grow, axis=0)])
                     self._tgts_half = jnp.concatenate(
-                        [self._tgts_half, pad])
+                        [self._tgts_half,
+                         jnp.repeat(self._tgts_half[:1], grow, axis=0)])
             else:  # full: overwrite the oldest cache row (FIFO)
                 pos = 1 + self._wrap
                 self._wrap = (self._wrap + 1) % self.num_frames

@@ -320,14 +320,18 @@ def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
 
 
 def _fwd_impl(qf, kf, vf, rx, ex, hd, reps, rw_tile, block_q, num_sub,
-              max_mode, exp2_impl, interpret):
+              max_mode, exp2_impl, interpret, kernel_maker=None):
+    # kernel_maker: optional drop-in replacement for _make_fwd_kernel
+    # (same signature) — used by utils/kernel_stage_profile to time
+    # stage-dropped variants without monkeypatching module globals
     bn, lq, hdf = qf.shape
     lk = kf.shape[1]
     k_x = ex.shape[0]
     grid = (bn, pl.cdiv(lq, block_q))
     kw = {} if not interpret else {"interpret": True}
     return pl.pallas_call(
-        _make_fwd_kernel(hd, reps, rw_tile, num_sub, max_mode, exp2_impl),
+        (kernel_maker or _make_fwd_kernel)(
+            hd, reps, rw_tile, num_sub, max_mode, exp2_impl),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, hdf), lambda b, i: (b, i, 0)),
@@ -355,7 +359,10 @@ def _fwd_impl(qf, kf, vf, rx, ex, hd, reps, rw_tile, block_q, num_sub,
 
 
 def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
-              block_q, num_sub, max_mode, exp2_impl, interpret):
+              block_q, num_sub, max_mode, exp2_impl, interpret,
+              kernel_maker=None):
+    # kernel_maker: optional drop-in replacement for _make_bwd_kernel
+    # (see _fwd_impl)
     bn, lq, hdf = qf.shape
     lk = kf.shape[1]
     k_x = ex.shape[0]
@@ -404,10 +411,11 @@ def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
         ),
     )
     outs = pl.pallas_call(
-        _make_bwd_kernel(hd, reps, rw_tile, num_sub,
-                         ragged=bool(lq % block_q),
-                         clamp=(max_mode == "fixed"),
-                         exp2_impl=exp2_impl, dkv_fused=dkv_fused),
+        (kernel_maker or _make_bwd_kernel)(
+            hd, reps, rw_tile, num_sub,
+            ragged=bool(lq % block_q),
+            clamp=(max_mode == "fixed"),
+            exp2_impl=exp2_impl, dkv_fused=dkv_fused),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         # Mosaic's default 16 MB scoped-VMEM budget rejects the larger

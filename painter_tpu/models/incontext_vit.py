@@ -33,9 +33,12 @@ TPU-first design notes (not a translation):
 - Relative-position tables are stored at the full-grid size for every
   block and interpolated on the fly (the same path that serves eval at a
   different resolution, ``vitdet_utils.py:63-93``). The released
-  checkpoints are all-global so this is exact for them; for *windowed*
-  blocks this derives the window table by interpolation — a documented
-  deviation that keeps block params stackable.
+  checkpoints are all-global so this is exact for them. Checkpoints
+  *trained windowed* carry exact per-window (2*ws-1)-entry tables in the
+  separate heterogeneous ``window_rel_pos_tables`` leaves (loaded by the
+  converter, round-trip + fp64-oracle tested in
+  tests/test_window_checkpoint.py), so no interpolation deviation
+  remains on either block kind.
 """
 from __future__ import annotations
 
@@ -590,6 +593,11 @@ def forward_decoder(params: Params, cfg: ModelConfig,
     dec = cfg.decoder_embed_dim
     dp = params["decoder_pred"]
     if decoder_impl == "packed":
+        if (w * p) % 2:
+            raise ValueError(
+                f"decoder_impl='packed' pairs adjacent W pixels and needs "
+                f"an even painted width; got w*p = {w}*{p} = {w * p} — "
+                f"use decoder_impl='xla' for odd widths")
         # shuffle straight into the packed layout: same 6D transpose,
         # the last two pixels of each W-pair land in one 128-lane row
         x = x.reshape(b, h, w, p, p, dec)

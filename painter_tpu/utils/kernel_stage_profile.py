@@ -1,18 +1,20 @@
 """Stage-marginal profiles of the flash attention kernel (fwd and bwd).
 
 Productizes the round-4 methodology that re-attributed the kernel's
-roofline (BASELINE.md "stage-marginal profile" sections): the production
-kernel builders in :mod:`painter_tpu.kernels.flash_relpos` are swapped
-for stage-dropped variants — each variant removes one more stage from
-the end of the dependency chain — and the difference between successive
-variants is that stage's *as-executed marginal cost* (which is ~zero for
-any stage the Mosaic VLIW scheduler fully overlaps with the MXU, e.g.
-the exp2 pass in both directions).
+roofline (BASELINE.md "stage-marginal profile" sections): stage-dropped
+variants of the production kernels — each variant removes one more stage
+from the end of the dependency chain — are threaded through
+:func:`flash_relpos._fwd_impl` / ``_bwd_impl``'s ``kernel_maker``
+parameter, and the difference between successive variants is that
+stage's *as-executed marginal cost* (which is ~zero for any stage the
+Mosaic VLIW scheduler fully overlaps with the MXU, e.g. the exp2 pass in
+both directions).
 
 Variant outputs are garbage for the dropped stages — this tool times,
 it does not compute. Parity of the real kernels is covered by
 tests/test_flash_relpos.py; this module never touches production paths
-(builders are restored in a ``finally``).
+(no module globals are patched — concurrent in-process traces always
+compile the real kernels).
 
 Measured flagship findings this tool reproduces (v5e, 2026-08-19):
 fwd floor (QK matmul + streaming) 3.14 of 3.88 ms with exp2/recip
@@ -191,35 +193,28 @@ def profile(qh: int = 56, qw: int = 28, batch: int = 8, heads: int = 16,
     delta = jnp.sum(gs.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1, keepdims=True)
 
-    def fwd_call(*a):
-        return fr._fwd_impl(*a, head_dim, reps_, True, bq, 1, "fixed",
-                            "native", interpret)
-
-    def bwd_call(*a):
-        return fr._bwd_impl(*a, head_dim, reps_, True, length, 1,
-                            "fixed", "native", interpret)
-
     results: Dict[str, Dict[str, float]] = {"fwd": {}, "bwd": {}}
     fargs = (qf, kf, vf, rx, ex)
     bargs = (qf, kf, vs, rx, ex, gs, lse, delta)
-    orig_f, orig_b = fr._make_fwd_kernel, fr._make_bwd_kernel
-    try:
-        for stage in FWD_STAGES:
-            fr._make_fwd_kernel = _make_fwd_variant(stage)
-            fn = jax.jit(lambda *a, _c=fwd_call: _c(*a))
-            t = _timed(fn, fargs, reps, iters)
-            results["fwd"][stage] = round(t, 3)
-            print(f"fwd {stage}: {t:.3f} ms", flush=True)
-        fr._make_fwd_kernel = orig_f
-        for stage in BWD_STAGES:
-            fr._make_bwd_kernel = _make_bwd_variant(stage)
-            fn = jax.jit(lambda *a, _c=bwd_call: _c(*a))
-            t = _timed(fn, bargs, reps, iters)
-            results["bwd"][stage] = round(t, 3)
-            print(f"bwd {stage}: {t:.3f} ms", flush=True)
-    finally:
-        fr._make_fwd_kernel = orig_f
-        fr._make_bwd_kernel = orig_b
+    # stage-dropped builders are threaded through the production impls'
+    # kernel_maker parameter — module globals are never touched, so
+    # concurrent in-process kernel traces stay on the real kernels
+    for stage in FWD_STAGES:
+        maker = _make_fwd_variant(stage)
+        fn = jax.jit(lambda *a, _m=maker: fr._fwd_impl(
+            *a, head_dim, reps_, True, bq, 1, "fixed", "native",
+            interpret, kernel_maker=_m))
+        t = _timed(fn, fargs, reps, iters)
+        results["fwd"][stage] = round(t, 3)
+        print(f"fwd {stage}: {t:.3f} ms", flush=True)
+    for stage in BWD_STAGES:
+        maker = _make_bwd_variant(stage)
+        fn = jax.jit(lambda *a, _m=maker: fr._bwd_impl(
+            *a, head_dim, reps_, True, length, 1, "fixed", "native",
+            interpret, kernel_maker=_m))
+        t = _timed(fn, bargs, reps, iters)
+        results["bwd"][stage] = round(t, 3)
+        print(f"bwd {stage}: {t:.3f} ms", flush=True)
     return results
 
 
