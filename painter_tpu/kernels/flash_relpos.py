@@ -168,15 +168,23 @@ def _fold_axis(hd: int, k_size: Tuple[int, int]) -> str:
         f"{MXU_LANES}-lane MXU tile; use the XLA attention path")
 
 
-def _dot(a, b, trans_a=False, trans_b=False):
+def _dot(a, b, trans_a=False, trans_b=False, prefer=jnp.float32):
     dims = (((0 if trans_a else 1,), (1 if trans_b else 0,)), ((), ()))
     return jax.lax.dot_general(a, b, dims,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=prefer)
 
 
-def _logits(qf, kf, rx, ex, reps, rw_tile):
-    """(sub_q, L) fp32 logits, pre-scaled by log2e (exp2 domain)."""
-    s = _dot(qf, kf, trans_b=True)
+def _logits(qf, kf, rx, ex, reps, rw_tile, emit_dtype=jnp.float32):
+    """(sub_q, L) fp32 logits, pre-scaled by log2e (exp2 domain).
+
+    ``emit_dtype=bfloat16`` makes the QK matmul *emit* its tile in bf16
+    (fp32 MXU accumulation either way) and upcasts right after — the
+    numeric effect is one bf16 rounding of the logit tile; see
+    ``BWD_TILE_BF16``.
+    """
+    s = _dot(qf, kf, trans_b=True, prefer=emit_dtype)
+    if emit_dtype != jnp.float32:
+        s = s.astype(jnp.float32)
     if rw_tile:
         # VPU lane-tile of the k_w-period bias (only valid when the
         # expanded axis is 'w': col bias = rx[:, col % k_w])
@@ -245,10 +253,25 @@ def _make_fwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
 # gradient parity in tests).
 DKV_FUSED = False
 
+# Backward tile-precision knob (round-5 A/B of the one unmeasured
+# structural family): the backward's documented floor is its QK-family
+# matmuls emitting (block_q, L) fp32 tiles at ~26-31 TFLOPS as-executed
+# (BASELINE.md stage-marginal profile) — at the flagship's full-L bwd
+# tile each such tile is 1568x1568 fp32 = 9.8 MB of result vregs/VMEM.
+# Members of this set make the corresponding matmul EMIT its tile in
+# bf16 (the MXU still accumulates fp32; the tile is upcast to fp32
+# immediately after, so the numeric effect is exactly one bf16 rounding
+# of that tile — softmax statistics, ds, and the dk/dv accumulators all
+# stay fp32):
+#   "s"  — the recomputed logit tile (feeds exp2; rounding delta on a
+#          logit of magnitude m perturbs p by a factor 2**(m * 2^-9))
+#   "dp" — the dO @ V^T tile (values O(1); ~0.2% relative rounding)
+BWD_TILE_BF16 = frozenset()
+
 
 def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
                      ragged: bool, clamp: bool, exp2_impl: str,
-                     dkv_fused: bool):
+                     dkv_fused: bool, tile_bf16: frozenset = frozenset()):
     def _attn_bwd_kernel(lq_ref, qf_ref, kf_ref, v_ref, rx_ref, ex_ref,
                          do_ref, lse_ref, delta_ref,
                          dqf_ref, dk_ref, *rest):
@@ -282,7 +305,9 @@ def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
             qf = mz(qf_ref[0, pl.ds(off, sz)]).astype(qf_ref.dtype)
             do = mz(do_ref[0, pl.ds(off, sz)]).astype(do_ref.dtype)
             s = _logits(qf, kf, rx_ref[0, pl.ds(off, sz)], ex_ref[:],
-                        reps, rw_tile)
+                        reps, rw_tile,
+                        emit_dtype=jnp.bfloat16 if "s" in tile_bf16
+                        else jnp.float32)
             # saved logsumexp -> one exp2 pass, no max/sum recompute;
             # the lse of a padding row could be garbage (even NaN), so
             # re-mask after exp2. Under the fixed-max softmax mirror the
@@ -292,7 +317,10 @@ def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
             if clamp:
                 s = jnp.minimum(s, EXP2_CLAMP)
             p = mz(_exp2(s - lse_ref[0, pl.ds(off, sz)], exp2_impl))
-            dp = _dot(do, v, trans_b=True)                  # (sq, L) fp32
+            # (sq, L); fp32 by default, bf16-emitted under the knob
+            dp = _dot(do, v, trans_b=True,
+                      prefer=jnp.bfloat16 if "dp" in tile_bf16
+                      else jnp.float32)
             # delta = rowsum(do*o) precomputed outside on (L, hd) arrays;
             # padding rows' OOB delta must be zeroed (0*NaN survives)
             delta = mz(delta_ref[0, pl.ds(off, sz)])
@@ -415,7 +443,8 @@ def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
             hd, reps, rw_tile, num_sub,
             ragged=bool(lq % block_q),
             clamp=(max_mode == "fixed"),
-            exp2_impl=exp2_impl, dkv_fused=dkv_fused),
+            exp2_impl=exp2_impl, dkv_fused=dkv_fused,
+            tile_bf16=frozenset(BWD_TILE_BF16)),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         # Mosaic's default 16 MB scoped-VMEM budget rejects the larger

@@ -85,7 +85,8 @@ def _make_fwd_variant(stage: str) -> Callable:
 def _make_bwd_variant(stage: str) -> Callable:
     """Backward kernel builder with stages after ``stage`` dropped."""
     def maker(hd, reps, rw_tile, num_sub, ragged, clamp, exp2_impl,
-              dkv_fused):
+              dkv_fused, tile_bf16=frozenset()):
+        del tile_bf16  # stage variants time the fp32-tile production path
         if ragged or dkv_fused or not rw_tile:
             raise NotImplementedError(
                 "stage profile covers the unfused non-ragged fold-h path")

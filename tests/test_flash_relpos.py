@@ -367,3 +367,57 @@ def test_flash_relpos_bf16_gradients_near_fp32_xla():
         err_n = np.linalg.norm(np.asarray(a) - np.asarray(b_,
                                                           np.float32))
         assert err_n / ref_n < 2e-2, (name, err_n / ref_n)
+
+
+@pytest.mark.parametrize("tiles", [{"dp"}, {"s", "dp"}])
+def test_flash_relpos_bwd_bf16_tiles_within_envelope(tiles):
+    """BWD_TILE_BF16 grads stay inside the bf16 operand-rounding envelope.
+
+    The round-5 perf A/B (VERDICT item 1) emits the backward's (bq, L)
+    logit / dp tiles in bf16 (fp32 MXU accumulation, immediate upcast).
+    The numeric contract: with bf16 INPUTS the variant grads must stay
+    within the same rel-Frobenius envelope vs the fp32 XLA path as the
+    production fp32-tile kernel (test above), and must be close to the
+    production kernel's own grads — one extra bf16 rounding of a tile
+    whose operands were already bf16.
+    """
+    import painter_tpu.kernels.flash_relpos as fr
+
+    b, nh, qh, qw, hd = 2, 2, 6, 4, 16
+    L = qh * qw
+    q = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    k = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    v = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    rph = jnp.asarray(RNG.randn(2 * qh - 1, hd), jnp.float32)
+    rpw = jnp.asarray(RNG.randn(2 * qw - 1, hd), jnp.float32)
+    scale = hd ** -0.5
+    gref = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(_xla_ref(q_, k_, v_, rph, rpw, (qh, qw),
+                                scale) * gref)
+
+    def loss_bf16(q_, k_, v_):
+        out = flash_attention_relpos(
+            q_.astype(jnp.bfloat16), k_.astype(jnp.bfloat16),
+            v_.astype(jnp.bfloat16), rph, rpw, (qh, qw), (qh, qw),
+            scale, block_q=8, exp2_impl="native")
+        return jnp.sum(out.astype(jnp.float32) * gref)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_base = jax.grad(loss_bf16, argnums=(0, 1, 2))(q, k, v)
+    orig = fr.BWD_TILE_BF16
+    fr.BWD_TILE_BF16 = frozenset(tiles)
+    try:
+        g_var = jax.grad(loss_bf16, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fr.BWD_TILE_BF16 = orig
+    for name, r, bse, var in zip("dq dk dv".split(), g_ref, g_base,
+                                 g_var):
+        r, bse, var = (np.asarray(x, np.float32) for x in (r, bse, var))
+        ref_n = np.linalg.norm(r)
+        # same envelope as the production bf16 kernel vs fp32 XLA
+        assert np.linalg.norm(r - var) / ref_n < 2e-2, name
+        # and close to the production kernel's own grads
+        assert np.linalg.norm(bse - var) / np.linalg.norm(bse) < 1e-2, \
+            name
