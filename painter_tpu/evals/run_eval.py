@@ -173,6 +173,13 @@ def paint_predictions(args, model) -> list:
     else:
         tgt2 = _load_rgb(args.prompt_target, res, nearest=nearest_tgt)
 
+    # uint8 output fetch is protocol-exact only when the host-side
+    # post-processing is a nearest resize of the x255-clipped image
+    # (nearest-gather commutes with the per-pixel uint8 cast); bilinear
+    # (ade20k/coco semseg, depth) and bicubic (restoration) tasks must
+    # resize in float, so they keep the fp32 fetch
+    u8_out = (spec.out_scale == 255.0 and spec.resize_mode == "nearest"
+              and spec.clip == (0.0, 255.0) and not spec.channel_mean)
     outputs = []
     bs = max(1, args.batch_size)
     for i0 in range(0, len(files), bs):
@@ -181,12 +188,15 @@ def paint_predictions(args, model) -> list:
         for path in chunk:
             image = Image.open(path).convert("RGB")
             sizes.append(image.size)
-            queries.append(np.array(image.resize((res, res))) / 255.0)
+            # raw uint8; the batched path does /255 in-graph (bit-exact
+            # — ops/image.from_uint8), the per-image path divides here
+            queries.append(np.array(image.resize((res, res))))
         if bs == 1 and model.mesh is None:
             # --batch_size 1 = the reference's per-image mode; a ragged
             # tail chunk must NOT take this path (it would trigger a
             # second full compile for one image — pad it instead)
-            imgs, tgts = build_prompt_batch(queries[0], [(img2, tgt2)])
+            imgs, tgts = build_prompt_batch(queries[0] / 255.0,
+                                            [(img2, tgt2)])
             outs = model.run_one_image(imgs, tgts)[None]
         else:
             # batched independent-query path (pad the tail chunk so one
@@ -197,10 +207,18 @@ def paint_predictions(args, model) -> list:
             while len(queries) < bs:
                 queries.append(queries[0])
             outs = model.run_queries_shared(
-                np.stack(queries).astype(np.float32), img2, tgt2,
-                real_count=real)
+                np.stack(queries), img2, tgt2, real_count=real,
+                out_dtype=np.uint8 if u8_out else np.float32)
         for path, size, out in zip(chunk, sizes, outs):
-            out = scale_and_resize(out, size, spec)
+            if u8_out and out.dtype == np.uint8:
+                # already x255-clipped on device; nearest resize is a
+                # pure gather, so going through float32 and back is
+                # exact (integral values round-trip)
+                from painter_tpu.data.transforms import _np_resize2d
+                out = _np_resize2d(out.astype(np.float32),
+                                   (size[1], size[0]), "nearest")
+            else:
+                out = scale_and_resize(out, size, spec)
             base = os.path.splitext(os.path.basename(path))[0] + ".png"
             out_path = os.path.join(args.output_dir, base)
             if args.task == "depth":

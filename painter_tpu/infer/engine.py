@@ -110,7 +110,15 @@ class InContextModel:
         # shards the independent-query batch over the mesh's devices
         # (XLA inserts no collectives — pure DP — so throughput scales
         # with chip count; params are replicated). None = single device.
+        # The mesh may span OS processes (multi-host serving): batch
+        # arrays are then assembled with make_array_from_process_local_
+        # data — every process passes the same full host batch and
+        # contributes its dp rows — and outputs are re-materialized on
+        # every host via process_allgather (misc.py:217-249 role).
         self.mesh = mesh
+        self._multiproc = mesh is not None and any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flat)
 
         @functools.partial(jax.jit, static_argnames=("merge",))
         def _predict(params, imgs, tgts, mask, seg_type_arr, merge,
@@ -167,17 +175,24 @@ class InContextModel:
                 in_shardings=(params_s, rep, rep, data, data),
                 out_shardings=data)
 
-        @functools.partial(jax.jit, **shared_kwargs)
+        # out_u8 is static and POSITIONAL (arg 5): pjit rejects kwargs
+        # outright when in_shardings is specified (the --n_dp mesh path)
+        @functools.partial(jax.jit, static_argnums=(5,), **shared_kwargs)
         def _predict_batch_shared(params, img2_top, tgt2_pair, queries,
-                                  seg_type_arr):
+                                  seg_type_arr, out_u8=False):
             # fixed-prompt sweep fast path: every query shares one
             # prompt, so only the (Q, R, R, 3) query halves cross the
             # host->device link — the prompt top half and the target
             # pair ship once and broadcast in-graph (the stacked-batch
             # path re-uploads ~2*(Q, 2R, R, 3) float32 per batch, which
             # dominates on transfer-limited links). Normalization
-            # happens in-graph (same fp32 math as the host path).
-            q = image_ops.normalize(queries)
+            # happens in-graph (same fp32 math as the host path);
+            # uint8 queries additionally do the /255 in-graph (bit-exact,
+            # image_ops.from_uint8) so the upload is 4x smaller.
+            q = queries
+            if jnp.issubdtype(q.dtype, jnp.integer):
+                q = image_ops.from_uint8(q)
+            q = image_ops.normalize(q)
             imgs = jnp.concatenate(
                 [jnp.broadcast_to(img2_top, q.shape), q], axis=1)
             tgts = jnp.broadcast_to(tgt2_pair,
@@ -190,16 +205,53 @@ class InContextModel:
                 params, self.cfg, imgs, tgts, mask,
                 seg_type=seg_type_arr, attn_impl=self.attn_impl,
                 kernel_mesh=kernel_mesh)
-            return image_ops.denormalize(out)
+            out = image_ops.denormalize(out)
+            return image_ops.to_uint8_255(out) if out_u8 else out
 
         self._predict_batch_shared = _predict_batch_shared
         self._prompt_dev_cache = None
 
+    def _put_dp(self, arr, dtype=None):
+        """Batch-dim host array -> device array sharded on the dp axis.
+
+        Single-process meshes upload locally (jit reshards); a mesh that
+        spans processes assembles the global array from this process's
+        dp rows (every process passes the SAME full host batch —
+        train.py put_batch / misc.py:217-249 convention).
+        """
+        a = np.asarray(arr) if dtype is None else np.asarray(arr, dtype)
+        if not self._multiproc:
+            return jnp.asarray(a)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P("dp", *([None] * (a.ndim - 1))))
+        devs = list(self.mesh.devices.flat)
+        rp = a.shape[0] // len(devs)
+        mine = np.concatenate(
+            [a[i * rp:(i + 1) * rp] for i, d in enumerate(devs)
+             if d.process_index == jax.process_index()])
+        return jax.make_array_from_process_local_data(sh, mine)
+
+    def _put_rep(self, arr):
+        """Replicated host array -> device (same value on every host)."""
+        if not self._multiproc:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(np.asarray(arr),
+                              NamedSharding(self.mesh, P()))
+
+    def _fetch(self, out):
+        """Device output -> full host array on every process."""
+        if not self._multiproc:
+            return np.asarray(out)
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(out,
+                                                            tiled=True))
+
     def run_queries_shared(self, queries: np.ndarray, img2: np.ndarray,
                            tgt2: np.ndarray,
-                           real_count: Optional[int] = None) -> np.ndarray:
-        """Fixed-prompt batched queries (Q, R, R, 3) [0,1] -> painted
-        (Q, R, R, 3) [0,1] halves.
+                           real_count: Optional[int] = None,
+                           out_dtype=np.float32) -> np.ndarray:
+        """Fixed-prompt batched queries (Q, R, R, 3) -> painted halves.
 
         Transfer-aware variant of :meth:`run_queries` for the eval/
         serving sweeps where every query shares one (img2, tgt2) prompt:
@@ -208,6 +260,17 @@ class InContextModel:
         in-graph fp32 normalize == the host path's (same constants);
         the batched path is already documented +-1 uint8 vs the
         per-image loop (docs/EVAL.md).
+
+        I/O dtypes (both 4x the link bytes of the fp32 default when the
+        relay is the bottleneck):
+        - ``queries`` may be uint8 (raw resized pixels); the /255 runs
+          in-graph and is bit-exact vs the host divide
+          (:func:`ops.image.from_uint8`).
+        - ``out_dtype=np.uint8`` returns 0-255 uint8 (the PNG write
+          path's values, :func:`ops.image.to_uint8_255`) instead of the
+          default [0,1] float32 — protocol-exact only for nearest/
+          identity-resize tasks; callers that bilinear/bicubic-resize
+          the output must keep float32.
         """
         q = queries.shape[0]
         if self.mesh is not None:
@@ -230,17 +293,19 @@ class InContextModel:
                 or cache[2] != fp):
             tgt_pair = _np_normalize(np.concatenate([tgt2, tgt2], axis=0))
             self._prompt_dev_cache = (
-                img2, tgt2, fp, jnp.asarray(_np_normalize(img2)),
-                jnp.asarray(tgt_pair))
+                img2, tgt2, fp, self._put_rep(_np_normalize(img2)),
+                self._put_rep(tgt_pair))
         img2_dev, tgt2_dev = self._prompt_dev_cache[3:]
         n = queries.shape[0]
         st_val = 1 if self.seg_type == "instance" else 0
-        st = jnp.full((n, 1), st_val, jnp.int32) \
+        st = self._put_dp(np.full((n, 1), st_val, np.int32)) \
             if self.cfg.seg_type_tokens else None
+        q_dev = self._put_dp(
+            queries, None if queries.dtype == np.uint8 else np.float32)
         out = self._predict_batch_shared(
-            self.params, img2_dev, tgt2_dev,
-            jnp.asarray(queries, jnp.float32), st)
-        return np.asarray(out)[:real_count if real_count else q]
+            self.params, img2_dev, tgt2_dev, q_dev, st,
+            np.dtype(out_dtype) == np.uint8)
+        return self._fetch(out)[:real_count if real_count else q]
 
     def run_queries(self, imgs: np.ndarray, tgts: np.ndarray,
                     real_count: Optional[int] = None) -> np.ndarray:
@@ -264,14 +329,16 @@ class InContextModel:
         n = imgs.shape[0]
         num_patches = (imgs.shape[1] // self.cfg.patch_size) * \
                       (imgs.shape[2] // self.cfg.patch_size)
-        mask = image_ops.bottom_half_mask(n, num_patches)
+        mask_np = np.zeros((n, num_patches), np.float32)
+        mask_np[:, num_patches // 2:] = 1.0
         st_val = 1 if self.seg_type == "instance" else 0
-        st = jnp.full((n, 1), st_val, jnp.int32) \
+        st = self._put_dp(np.full((n, 1), st_val, np.int32)) \
             if self.cfg.seg_type_tokens else None
         out = self._predict_batch(self.params,
-                                  jnp.asarray(imgs, jnp.float32),
-                                  jnp.asarray(tgts, jnp.float32), mask, st)
-        return np.asarray(out)[:real_count if real_count else q]
+                                  self._put_dp(imgs, np.float32),
+                                  self._put_dp(tgts, np.float32),
+                                  self._put_dp(mask_np), st)
+        return self._fetch(out)[:real_count if real_count else q]
 
     def run_one_image(self, img: np.ndarray, tgt: np.ndarray) -> np.ndarray:
         """img/tgt: (N, 2R, R, 3) normalized stitched batch (prompt dim N).
@@ -423,13 +490,12 @@ def run_video_frames(model: InContextModel, frames_rgb,
 
         if num_frames > 0:
             frames_cache.append(query)
-            # our run_one_image returns [0,1]-scale output (the x255
-            # happens later in scale_and_resize), so the reference's
-            # >128 binarization threshold (seggpt_engine.py:167) is 0.5;
-            # the reference clips per-channel BEFORE the mean
-            # (run_one_image's clip + :167), so out-of-gamut predictions
-            # must be clipped here too or the frame cache drifts
-            binarized = (np.clip(output, 0, 1).mean(-1) > 0.5) \
+            # reference math exactly (seggpt_engine.py:52 + :167-171):
+            # clip the x255 output per-channel, channel-mean, then >128
+            # — note 128/255 != 0.5, so thresholding the [0,1] output at
+            # 0.5 (an earlier version here) deviates for predictions in
+            # (0.5, 128/255]
+            binarized = (np.clip(output * 255.0, 0, 255).mean(-1) > 128) \
                 .astype(np.float32)
             targets_cache.append(np.repeat(binarized[..., None], 3, axis=-1))
             if len(frames_cache) > num_frames:
@@ -450,10 +516,12 @@ class VideoEngine:
     axon-relayed v5e, 2026-08-19: 0.23 fps at num_frames=4 and 0.10 at
     8, against ~0.2-0.3 s/frame of device compute). This engine keeps
     the normalized prompt halves ON DEVICE and per frame uploads only
-    the new [0,1] query (2.4 MB) and the previous frame's binarized
-    mask (bool, 0.2 MB); stitching, ImageNet normalization (same fp32
-    math as the host path) and the rolling-cache insert run in-graph,
-    with the cache buffers donated through the update.
+    the new query (0.6 MB as raw uint8, 2.4 MB as [0,1] fp32);
+    stitching, ImageNet normalization (same fp32 math as the host
+    path), the re-prompt binarization (reference >128 threshold) and
+    the rolling-cache insert run in-graph, with the cache buffers
+    donated through the update — round 5 moved the binarize on device,
+    deleting the per-frame mask upload of the round-4 version.
 
     Semantics match ``run_video_frames`` / ``seggpt_engine.py:106-181``:
     row 0 is the fixed (img2, tgt2) prompt; rows 1..num_frames hold the
@@ -469,8 +537,14 @@ class VideoEngine:
         self.num_frames = num_frames
         cfg = model.cfg
 
-        @functools.partial(jax.jit, static_argnames=("merge",))
-        def _paint(params, imgs_top, tgts_half, query, weights, st, merge):
+        @functools.partial(jax.jit,
+                           static_argnames=("merge", "out_u8"))
+        def _paint(params, imgs_top, tgts_half, query, weights, st, merge,
+                   out_u8=False):
+            if jnp.issubdtype(query.dtype, jnp.integer):
+                # uint8 frame upload: /255 in-graph, bit-exact vs the
+                # host divide (image_ops.from_uint8) at 1/4 link bytes
+                query = image_ops.from_uint8(query)
             q = image_ops.normalize(query.astype(jnp.float32))
             imgs = jnp.concatenate(
                 [imgs_top, jnp.broadcast_to(q, imgs_top.shape)], axis=1)
@@ -483,7 +557,15 @@ class VideoEngine:
                 params, cfg, imgs, tgts, mask, seg_type=st,
                 merge_between_batch=merge, attn_impl=model.attn_impl,
                 ensemble_weights=weights)
-            return image_ops.denormalize(out), q
+            out = image_ops.denormalize(out)
+            # binarize the re-prompt mask IN-GRAPH with the reference
+            # math (seggpt_engine.py:52 + :167-171: clip the x255 output
+            # per-channel, channel-mean, >128) — it never needs to visit
+            # the host, so the per-frame mask upload disappears
+            binarized = jnp.clip(out * 255.0, 0, 255).mean(-1) > 128
+            if out_u8:
+                out = image_ops.to_uint8_255(out)
+            return out, q, binarized
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def _insert(imgs_top, tgts_half, new_top, new_bin, pos):
@@ -509,22 +591,34 @@ class VideoEngine:
         val = 1 if self.model.seg_type == "instance" else 0
         return jnp.full((n, 1), val, jnp.int32)
 
-    def paint_frame(self, query_01: np.ndarray) -> np.ndarray:
-        """[0,1] (R, R, 3) query -> [0,1]-scale painted (R, R, 3)."""
+    def paint_frame(self, query_01: np.ndarray,
+                    out_dtype=np.float32) -> np.ndarray:
+        """(R, R, 3) query -> painted (R, R, 3).
+
+        ``query_01`` is [0,1] float, or raw uint8 pixels (converted
+        in-graph, bit-exact, 1/4 the upload bytes). ``out_dtype=
+        np.uint8`` fetches the 0-255 PNG-write values instead of the
+        [0,1] float32 default (see :meth:`InContextModel.
+        run_queries_shared` for the exactness contract). The rolling
+        re-prompt mask is binarized on device either way, so the only
+        per-frame link traffic is the query up and the painted frame
+        down.
+        """
         n, nb = self._n_real, self._imgs_top.shape[0]
         weights = None
         if n > 1:
             weights = jnp.asarray(np.concatenate(
                 [np.full((n,), 1.0 / n, np.float32),
                  np.zeros((nb - n,), np.float32)]))
-        out, q_norm = self._paint(
+        q_dev = (jnp.asarray(query_01) if query_01.dtype == np.uint8
+                 else jnp.asarray(query_01, jnp.float32))
+        out, q_norm, binarized = self._paint(
             self.model.params, self._imgs_top, self._tgts_half,
-            jnp.asarray(query_01, jnp.float32), weights,
-            self._seg_type(nb), 0 if n > 1 else -1)
+            q_dev, weights, self._seg_type(nb), 0 if n > 1 else -1,
+            out_u8=(np.dtype(out_dtype) == np.uint8))
         out_np = np.asarray(out)
 
         if self.num_frames > 0:
-            binarized = np.clip(out_np, 0, 1).mean(-1) > 0.5
             if n < 1 + self.num_frames:
                 pos = n
                 self._n_real = n + 1
@@ -545,8 +639,7 @@ class VideoEngine:
                 pos = 1 + self._wrap
                 self._wrap = (self._wrap + 1) % self.num_frames
             self._imgs_top, self._tgts_half = self._insert(
-                self._imgs_top, self._tgts_half, q_norm,
-                jnp.asarray(binarized), pos)
+                self._imgs_top, self._tgts_half, q_norm, binarized, pos)
         return out_np
 
 
@@ -569,7 +662,9 @@ def run_video_frames_device(model: InContextModel, frames_rgb,
             engine = VideoEngine(model, num_frames, img2, tgt2)
         image = Image.fromarray(input_image)
         size = image.size
-        query = np.array(image.resize((res, res))) / 255.0
+        # raw uint8 upload; /255 runs in-graph (bit-exact vs the host
+        # divide the v1 path uses — image_ops.from_uint8)
+        query = np.array(image.resize((res, res)))
         output = engine.paint_frame(query)
         out = scale_and_resize(output, size, TASK_SPECS["seggpt"])
         yield (input_image * (0.6 * out / 255 + 0.4)).astype(np.uint8)

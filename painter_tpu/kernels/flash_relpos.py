@@ -266,12 +266,43 @@ DKV_FUSED = False
 #   "s"  — the recomputed logit tile (feeds exp2; rounding delta on a
 #          logit of magnitude m perturbs p by a factor 2**(m * 2^-9))
 #   "dp" — the dO @ V^T tile (values O(1); ~0.2% relative rounding)
+#
+# MEASURED-AND-REJECTED as UNEXPRESSIBLE on this toolchain (2026-08-19):
+# Mosaic refuses bf16 matmul emission outright — lowering the flagship
+# train step with {"dp"} raises `'tpu.matmul' op Expected matmul acc to
+# be 32-bit` (docs/measurements/ROUND5.md). The matmul OPERANDS were
+# already bf16 (ds_b/p_b casts below), so there is no operand-precision
+# headroom left either; the fp32 logit-tile pacing floor cannot be
+# attacked via tile width on current Mosaic. The knob + interpret-mode
+# envelope tests (tests/test_flash_relpos.py) are kept so the numeric
+# contract is pinned if a future Mosaic lifts the accumulator
+# restriction.
 BWD_TILE_BF16 = frozenset()
+
+# Backward-only exp2 lowering override (None = inherit the call's
+# exp2_impl). Motivation (round-4 stage marginals, BASELINE.md): in the
+# FORWARD exp2 is measured free (fully VLIW-overlapped with the QK/PV
+# matmuls — why the poly3 default was rejected at -15% e2e), but the
+# BACKWARD's no_exp2 variant saves ~1.3 ms of a 6.4 ms kernel: the bwd
+# recompute's exp2 sits on the critical path between the s matmul and
+# the dv/ds consumers, so a faster lowering can pay there even though
+# it lost in the forward. Set to "poly3" to A/B (max rel err 7.5e-5 on
+# p — far inside the kernel's bf16 gradient envelope).
+BWD_EXP2_IMPL = None
+
+# Fold the dq and d(rel-expanded) matmuls into ONE MXU pass: both
+# contract ds_b (block_q, L) against an (L, ·) operand — kf (128 lanes)
+# and ex^T (k_x lanes). Lane-concat of the operands inside the kernel
+# turns two LHS streams of the 4.9 MB ds_b tile into one, and the drx
+# product's 28-of-128-lane MXU waste rides the dq matmul's output tile
+# instead of paying its own pass.
+BWD_FOLD_DQ_DRX = False
 
 
 def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
                      ragged: bool, clamp: bool, exp2_impl: str,
-                     dkv_fused: bool, tile_bf16: frozenset = frozenset()):
+                     dkv_fused: bool, tile_bf16: frozenset = frozenset(),
+                     fold_dqdrx: bool = False):
     def _attn_bwd_kernel(lq_ref, qf_ref, kf_ref, v_ref, rx_ref, ex_ref,
                          do_ref, lse_ref, delta_ref,
                          dqf_ref, dk_ref, *rest):
@@ -282,7 +313,14 @@ def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
             dv_ref, drx_ref = rest
         i = pl.program_id(1)
         block_q = qf_ref.shape[1]
-        kf = kf_ref[0]
+        if fold_dqdrx:
+            # kf_ref carries the folded [kf | ex^T] (lk, hdf+k_x)
+            # operand (see BWD_FOLD_DQ_DRX); the s matmul contracts
+            # only the real kf lanes
+            kex = kf_ref[0]
+            kf = kex[:, :qf_ref.shape[2]]
+        else:
+            kf = kf_ref[0]
         v = v_ref[0]
 
         @pl.when(i == 0)
@@ -330,10 +368,21 @@ def _make_bwd_kernel(hd: int, reps: int, rw_tile: bool, num_sub: int,
 
             # one folded matmul: [:, :hd] = ds @ k = dq/scale,
             # [:, hd:] = ds @ onehot^T = d(folded bias term)
-            dqf_ref[0, pl.ds(off, sz)] = _dot(ds_b, kf).astype(
-                dqf_ref.dtype)
-            drx_ref[0, pl.ds(off, sz)] = _dot(
-                ds_b, ex_ref[:], trans_b=True).astype(drx_ref.dtype)
+            if fold_dqdrx:
+                # single MXU pass over ds_b: lanes [:hdf] = dq-family,
+                # [hdf:] = d(expanded bias) — same products, one LHS
+                # stream (BWD_FOLD_DQ_DRX)
+                hdf = qf_ref.shape[2]
+                r = _dot(ds_b, kex)
+                dqf_ref[0, pl.ds(off, sz)] = r[:, :hdf].astype(
+                    dqf_ref.dtype)
+                drx_ref[0, pl.ds(off, sz)] = r[:, hdf:].astype(
+                    drx_ref.dtype)
+            else:
+                dqf_ref[0, pl.ds(off, sz)] = _dot(ds_b, kf).astype(
+                    dqf_ref.dtype)
+                drx_ref[0, pl.ds(off, sz)] = _dot(
+                    ds_b, ex_ref[:], trans_b=True).astype(drx_ref.dtype)
             # dk = ds^T @ (q*scale*log2e); log2e is divided out in XLA
             if dkv_fused:
                 # lane-concat the two (lk, hd) dots into one 128-lane
@@ -398,6 +447,13 @@ def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
     lq_arr = jnp.full((1,), lq, jnp.int32)
     kw = {} if not interpret else {"interpret": True}
     dkv_fused = DKV_FUSED
+    fold_dqdrx = BWD_FOLD_DQ_DRX
+    exp2_impl = BWD_EXP2_IMPL or exp2_impl
+    if fold_dqdrx:
+        # ship [kf | ex^T] as one operand so the kernel's dq and drx
+        # products share a single MXU pass (see BWD_FOLD_DQ_DRX)
+        kf = jnp.concatenate(
+            [kf, jnp.broadcast_to(ex.T[None], (bn, lk, k_x))], axis=-1)
     if dkv_fused:
         acc_shapes = (
             jax.ShapeDtypeStruct((bn, lk, 2 * hd), jnp.float32),  # [dk|dv]
@@ -424,7 +480,7 @@ def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, hdf), lambda b, i, *_: (b, i, 0)),
-            pl.BlockSpec((1, lk, hdf), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, lk, kf.shape[-1]), lambda b, i, *_: (b, 0, 0)),
             pl.BlockSpec((1, lk, hd), lambda b, i, *_: (b, 0, 0)),
             pl.BlockSpec((1, block_q, k_x), lambda b, i, *_: (b, i, 0)),
             pl.BlockSpec((k_x, lk), lambda b, i, *_: (0, 0)),
@@ -444,7 +500,8 @@ def _bwd_impl(qf, kf, vs, rx, ex, g, lse, delta, hd, reps, rw_tile,
             ragged=bool(lq % block_q),
             clamp=(max_mode == "fixed"),
             exp2_impl=exp2_impl, dkv_fused=dkv_fused,
-            tile_bf16=frozenset(BWD_TILE_BF16)),
+            tile_bf16=frozenset(BWD_TILE_BF16),
+            fold_dqdrx=fold_dqdrx),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         # Mosaic's default 16 MB scoped-VMEM budget rejects the larger

@@ -85,9 +85,9 @@ def _make_fwd_variant(stage: str) -> Callable:
 def _make_bwd_variant(stage: str) -> Callable:
     """Backward kernel builder with stages after ``stage`` dropped."""
     def maker(hd, reps, rw_tile, num_sub, ragged, clamp, exp2_impl,
-              dkv_fused, tile_bf16=frozenset()):
+              dkv_fused, tile_bf16=frozenset(), fold_dqdrx=False):
         del tile_bf16  # stage variants time the fp32-tile production path
-        if ragged or dkv_fused or not rw_tile:
+        if ragged or dkv_fused or not rw_tile or fold_dqdrx:
             raise NotImplementedError(
                 "stage profile covers the unfused non-ragged fold-h path")
 

@@ -135,3 +135,27 @@ def test_two_process_training(toy_data, tmp_path):
     outs2 = _run_both(_free_port(), root, jp, out_dir)
     assert "auto-resumed from step 2" in outs2[0]
     assert len([json.loads(l) for l in open(log_path)]) == 2
+
+
+def test_two_process_dryrun_serving_leg():
+    """`__graft_entry__.py --dryrun 8 --procs 2` runs the dp-serving leg
+    under REAL multi-process (round-5; it used to stop at meter sync):
+    every process passes the full host batch, the engine assembles the
+    global dp batch via make_array_from_process_local_data, and a
+    cross-process digest check pins that process_allgather gives every
+    host the same painted outputs. (The flagship ViT-L AOT leg under
+    --procs 2 is opt-in via --flagship — minutes of compile per process
+    — and is recorded in MULTICHIP_r05_procs2.json.)"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py"),
+         "--dryrun", "8", "--procs", "2"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=900, cwd=repo)
+    assert out.returncode == 0, out.stdout[-4000:]
+    assert "dp-sharded serving batch (9, 32, 32, 3) finite " \
+           "(2-process assembly+allgather ok)" in out.stdout, \
+        out.stdout[-4000:]
+    assert "meter sync ok" in out.stdout

@@ -421,3 +421,54 @@ def test_flash_relpos_bwd_bf16_tiles_within_envelope(tiles):
         # and close to the production kernel's own grads
         assert np.linalg.norm(bse - var) / np.linalg.norm(bse) < 1e-2, \
             name
+
+
+@pytest.mark.parametrize("knob,val", [("BWD_FOLD_DQ_DRX", True),
+                                      ("BWD_EXP2_IMPL", "poly3")])
+def test_flash_relpos_bwd_knobs_gradient_parity(knob, val):
+    """Round-5 backward knobs keep gradient parity.
+
+    BWD_FOLD_DQ_DRX computes the same dq/drx products through one
+    lane-concat MXU pass — gradients must match the base kernel to fp32
+    noise. BWD_EXP2_IMPL='poly3' swaps only the backward's exp2
+    lowering (7.5e-5 rel err on p) — gradients must stay inside the
+    kernel's bf16-vs-fp32-XLA envelope and near the base kernel.
+    """
+    import painter_tpu.kernels.flash_relpos as fr
+
+    b, nh, qh, qw, hd = 2, 2, 6, 4, 16
+    L = qh * qw
+    q = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    k = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    v = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+    rph = jnp.asarray(RNG.randn(2 * qh - 1, hd), jnp.float32)
+    rpw = jnp.asarray(RNG.randn(2 * qw - 1, hd), jnp.float32)
+    scale = hd ** -0.5
+    gref = jnp.asarray(RNG.randn(b, nh, L, hd), jnp.float32)
+
+    def loss(q_, k_, v_):
+        out = flash_attention_relpos(
+            q_.astype(jnp.bfloat16), k_.astype(jnp.bfloat16),
+            v_.astype(jnp.bfloat16), rph, rpw, (qh, qw), (qh, qw),
+            scale, block_q=8, exp2_impl="native")
+        return jnp.sum(out.astype(jnp.float32) * gref)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(_xla_ref(q_, k_, v_, rph, rpw, (qh, qw),
+                                scale) * gref)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    orig = getattr(fr, knob)
+    setattr(fr, knob, val)
+    try:
+        g_var = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        setattr(fr, knob, orig)
+    for name, r, bse, var in zip("dq dk dv".split(), g_ref, g_base,
+                                 g_var):
+        r, bse, var = (np.asarray(x, np.float32) for x in (r, bse, var))
+        assert np.linalg.norm(r - var) / np.linalg.norm(r) < 2e-2, name
+        tol = 1e-6 if knob == "BWD_FOLD_DQ_DRX" else 1e-3
+        assert np.linalg.norm(bse - var) / np.linalg.norm(bse) < tol, \
+            (name, np.linalg.norm(bse - var) / np.linalg.norm(bse))

@@ -98,10 +98,11 @@ def test_inference_video_rolling_cache(tiny_model, tmp_path):
 
 
 def test_video_binarization_threshold(tiny_model, tmp_path, monkeypatch):
-    """Re-prompt targets binarize on the [0,1] output scale: a bright
-    prediction must yield a nonzero cached target (regression: the
-    reference's >128 threshold on x255 outputs silently produced
-    all-black re-prompts here)."""
+    """A bright prediction must yield a nonzero cached re-prompt target
+    (regression: an early port applied the reference's >128 threshold
+    to the [0,1]-scale output without the x255, silently producing
+    all-black re-prompts; the exact reference math is pinned by
+    test_video_binarize_reference_threshold below)."""
     import cv2
     vid = str(tmp_path / "in2.mp4")
     w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5, (48, 36))
@@ -238,3 +239,116 @@ def test_run_queries_mesh_sharded(tiny_model):
     assert got.shape[0] == 6
     ref = tiny_model.run_queries(imgs, tgts)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_uint8_io_exactness_lattice():
+    """The uint8 I/O helpers are exact vs the host chains they replace.
+
+    from_uint8: fp32(u)/fp32(255) == fp32(f64(u)/255.0) for ALL 256
+    values (both correctly-rounded divisions of exact operands), so a
+    uint8 query upload is bit-identical downstream.  to_uint8_255 ==
+    np.clip(out*255, 0, 255).astype(np.uint8) (the run_eval PNG write
+    chain) including out-of-gamut and exact-lattice inputs.
+    """
+    import jax.numpy as jnp
+    from painter_tpu.ops import image as image_ops
+
+    u = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    host = (u.astype(np.float64) / 255.0).astype(np.float32)
+    dev = np.asarray(jax.jit(image_ops.from_uint8)(jnp.asarray(u)))
+    assert np.array_equal(host.view(np.uint32), dev.view(np.uint32))
+
+    rng = np.random.RandomState(0)
+    x = np.concatenate([
+        rng.randn(1024).astype(np.float32),
+        rng.rand(1024).astype(np.float32),
+        np.linspace(-0.25, 1.25, 1024, dtype=np.float32),
+        (np.arange(256) / 255.0).astype(np.float32),
+    ])
+    host_u8 = np.clip(x * np.float32(255.0), 0, 255).astype(np.uint8)
+    dev_u8 = np.asarray(jax.jit(image_ops.to_uint8_255)(jnp.asarray(x)))
+    assert np.array_equal(host_u8, dev_u8)
+
+
+def test_run_queries_shared_uint8_io(tiny_model):
+    """uint8 queries paint bit-identically to the fp32 [0,1] path, and
+    out_dtype=uint8 returns exactly the host-side write-path values."""
+    rng = np.random.RandomState(5)
+    res = tiny_model.cfg.img_size[1]
+    q_u8 = (rng.rand(2, res, res, 3) * 255).astype(np.uint8)
+    img2 = rng.rand(res, res, 3).astype(np.float32)
+    tgt2 = rng.rand(res, res, 3).astype(np.float32)
+
+    out_f = tiny_model.run_queries_shared(
+        (q_u8 / 255.0).astype(np.float32), img2, tgt2)
+    out_f_u8in = tiny_model.run_queries_shared(q_u8, img2, tgt2)
+    assert out_f_u8in.dtype == np.float32
+    assert np.array_equal(out_f, out_f_u8in)
+
+    out_u8 = tiny_model.run_queries_shared(q_u8, img2, tgt2,
+                                           out_dtype=np.uint8)
+    host_u8 = np.clip(out_f_u8in * np.float32(255.0), 0,
+                      255).astype(np.uint8)
+    assert out_u8.dtype == np.uint8
+    assert np.array_equal(out_u8, host_u8)
+
+
+def test_video_engine_uint8_query_and_out(tiny_model):
+    """VideoEngine paints identically for uint8 vs fp32 queries (in-graph
+    /255 is bit-exact) and its uint8 fetch matches the host cast; the
+    rolling cache evolves identically (in-graph binarize both ways)."""
+    rng = np.random.RandomState(7)
+    res = tiny_model.cfg.img_size[1]
+    img2 = rng.rand(res, res, 3)
+    tgt2 = (rng.rand(res, res, 1) > 0.5).astype(np.float32) \
+        .repeat(3, axis=-1)
+    ve_f = engine.VideoEngine(tiny_model, 2, img2, tgt2)
+    ve_u = engine.VideoEngine(tiny_model, 2, img2, tgt2)
+    ve_u8out = engine.VideoEngine(tiny_model, 2, img2, tgt2)
+    for _ in range(4):
+        fr8 = (rng.rand(res, res, 3) * 255).astype(np.uint8)
+        of = ve_f.paint_frame((fr8 / 255.0).astype(np.float32))
+        ou = ve_u.paint_frame(fr8)
+        o8 = ve_u8out.paint_frame(fr8, out_dtype=np.uint8)
+        assert np.array_equal(of, ou)
+        assert o8.dtype == np.uint8
+        assert np.array_equal(
+            o8, np.clip(ou * np.float32(255.0), 0, 255).astype(np.uint8))
+
+
+def test_video_binarize_reference_threshold(tiny_model, tmp_path,
+                                            monkeypatch):
+    """The rolling-cache binarization is the reference's
+    ``clip(out*255, 0, 255).mean(-1) > 128`` (seggpt_engine.py:52 +
+    :167-171) — note 128/255 > 0.5, so a painted value of 0.501 must
+    produce an all-ZERO cached mask (a plain 0.5 threshold on the [0,1]
+    scale, as shipped before round 5, wrongly binarized it to 1)."""
+    import cv2
+    res = tiny_model.cfg.img_size[1]
+    vid = str(tmp_path / "thr.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5, (48, 36))
+    rng = np.random.RandomState(1)
+    for _ in range(3):
+        w.write((rng.rand(36, 48, 3) * 255).astype(np.uint8))
+    w.release()
+    tgt = _write_img(str(tmp_path / "thr_t.png"), color=255)
+
+    orig_build = engine.build_prompt_batch
+    for val, expect in ((0.501, 0.0), (0.503, 1.0)):
+        out_const = np.full((res, res, 3), val, np.float32)
+        monkeypatch.setattr(tiny_model, "run_one_image",
+                            lambda imgs, tgts, _o=out_const: _o)
+        captured = []
+
+        def spy(query, prompts, _c=captured, _orig=orig_build):
+            _c.append([t for _, t in prompts])
+            return _orig(query, prompts)
+
+        monkeypatch.setattr(engine, "build_prompt_batch", spy)
+        engine.inference_video(
+            tiny_model, vid, num_frames=2, img2_paths=None,
+            tgt2_paths=[tgt], out_path=str(tmp_path / "thr_o.mp4"),
+            res=res, cache_impl="host")
+        cached = captured[-1][1:]
+        assert cached and all(float(t.max()) == expect for t in cached), \
+            (val, expect, [float(t.max()) for t in cached])
