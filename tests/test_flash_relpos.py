@@ -472,3 +472,44 @@ def test_flash_relpos_bwd_knobs_gradient_parity(knob, val):
         tol = 1e-6 if knob == "BWD_FOLD_DQ_DRX" else 1e-3
         assert np.linalg.norm(bse - var) / np.linalg.norm(bse) < tol, \
             (name, np.linalg.norm(bse - var) / np.linalg.norm(bse))
+
+
+def test_windowed_blocks_pallas_vs_xla_parity():
+    """Windowed blocks (window_partition -> L=ws^2 tiles -> kernel) keep
+    forward AND gradient parity between the Pallas kernel and the XLA
+    attention path — the genuinely-windowed architecture the flagship
+    model name advertises (models_painter.py:481-482), measured on-chip
+    in docs/measurements/ROUND5.md."""
+    from painter_tpu import configs
+    from painter_tpu.models import incontext_vit as m
+
+    cfg = configs.tiny_test_config(
+        img_size=(64, 32), pretrain_img_size=32, window_size=2,
+        window_block_indexes=(0, 1, 3), window_rel_pos_tables=True)
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    h, w = cfg.img_size
+    L = cfg.num_patches
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(2, h, w, 3), jnp.float32)
+    mask = jnp.zeros((2, L)).at[:, L // 2:].set(1.0)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        f = jax.jit(lambda p, i, _im=impl: m.predict_query_half(
+            p, cfg, i, i, mask, attn_impl=_im))
+        outs[impl] = np.asarray(f(params, imgs))
+    assert np.isfinite(outs["xla"]).all()
+    assert np.abs(outs["xla"] - outs["pallas"]).max() < 3e-2
+
+    def loss(p, impl):
+        l, _, _ = m.forward(p, cfg, imgs, imgs, mask, train=False,
+                            attn_impl=impl)
+        return l
+
+    g1 = jax.grad(lambda p: loss(p, "xla"))(params)
+    g2 = jax.grad(lambda p: loss(p, "pallas"))(params)
+    n1 = np.sqrt(sum(float(jnp.vdot(x, x).real)
+                     for x in jax.tree.leaves(g1)))
+    rel = np.sqrt(sum(float(jnp.vdot(a - b, a - b).real)
+                      for a, b in zip(jax.tree.leaves(g1),
+                                      jax.tree.leaves(g2)))) / n1
+    assert rel < 3e-2, rel
