@@ -29,10 +29,15 @@ Scheme — the standard dynamic-activation PTQ recipe:
   product ``row_scale * col_scale`` and cast back to the compute dtype
   — XLA fuses this into the matmul epilogue (measured free).
 
-Quantized sites — **MLP fc1/fc2 only, by measurement** (on-chip A/B at
-ViT-L 896x448, /tmp/r3c/int8_e2e.log, 2026-08-17): mlp-only 56.6 pairs/s
-b8 vs 48.9 bf16 (+16%); adding decoder_embed drops to 48.3 and adding
-qkv/proj to 45.6 — their per-token act-quant + dequant passes are extra
+Quantized sites — **MLP fc1/fc2 only, by measurement**. Canonical
+numbers (guarded fetch-synced harness, min-of-3 x 10-iter chained
+loops, docs/measurements/ROUND5.md 2026-08-19): bf16 52.01 pairs/s b8,
+int8 mlp-only 56.04 (+7.7%), fused-kernel MLP 54.12 (a measured LOSS
+vs XLA's unfused int8 gemms — ``MLP_IMPL="fused"`` stays opt-in). The
+earlier pre-guard A/B (2026-08-17, /tmp logs now superseded) had read
++16% with a tie for the fused kernel; the site *selection* it
+established still holds: adding decoder_embed or qkv/proj measured
+strictly worse — their per-token act-quant + dequant passes are extra
 VPU/HBM traffic on gemms that are each <0.5 ms (qkv/proj already run at
 ~130 TFLOPS and are 7% of a block; decoder_embed's (12544,16384) int32
 epilogue adds an HBM-scale pass to a stage that is DMA-bound). The MLP
@@ -159,11 +164,13 @@ def linear(lp: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 #: "xla" (default) = two int8 gemms + XLA-fused quant/dequant; "fused"
-#: = the one-VMEM-pass Pallas kernel (kernels/int8_mlp.py). Measured
-#: e2e on-par at ViT-L 896x448 b8 (fused 56.9 vs unfused 56.6 pairs/s,
-#: /tmp/r3d/ab_fused.log): XLA already fuses the act-quant passes into
-#: the gemm epilogues, so the kernel stays an opt-in like the fused
-#: decoder tail. "auto" = "fused" on TPU, "xla" elsewhere.
+#: = the one-VMEM-pass Pallas kernel (kernels/int8_mlp.py). The
+#: guarded round-5 re-measure (docs/measurements/ROUND5.md) puts the
+#: fused kernel at 54.12 vs unfused 56.04 pairs/s (ViT-L 896x448 b8) —
+#: a measured loss, not the pre-guard tie: XLA already fuses the
+#: act-quant passes into the gemm epilogues, so the kernel stays an
+#: opt-in like the fused decoder tail. "auto" = "fused" on TPU, "xla"
+#: elsewhere.
 MLP_IMPL = "xla"
 
 
