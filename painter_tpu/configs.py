@@ -132,6 +132,30 @@ def painter_vit_large_patch16_input896x448_win_dec64_8glb_sl1(
     return ModelConfig(**defaults)
 
 
+# The windowed architecture the flagship factory NAME advertises ("8glb"):
+# the indexes the reference factory *meant* to pass before the misplaced
+# comma (models_painter.py:481-482) — 16 windowed blocks at ws=14 with 8
+# global blocks at {2, 5, 8, 11, 14, 17, 20, 23}. No released checkpoint
+# was trained this way (see module docstring); this preset exists for
+# from-scratch training of genuinely windowed models and for pricing the
+# windowed perf point (BASELINE.md).
+WINDOWED_8GLB_BLOCK_INDEXES = tuple(
+    i for i in range(24) if i not in (2, 5, 8, 11, 14, 17, 20, 23))
+
+
+def painter_vit_large_patch16_input896x448_windowed(**kwargs) -> ModelConfig:
+    """The de-bugged windowed Painter ViT-L (models_painter.py:481-482 as
+    intended, consumer :307): 14x14 windows except 8 global blocks.
+    ``window_rel_pos_tables=True`` gives windowed blocks exact
+    (2*ws-1)-entry tables (the layout a window-trained torch checkpoint
+    stores — vitdet_utils.py:63-93)."""
+    defaults = dict(window_block_indexes=WINDOWED_8GLB_BLOCK_INDEXES,
+                    window_rel_pos_tables=True)
+    defaults.update(kwargs)
+    return painter_vit_large_patch16_input896x448_win_dec64_8glb_sl1(
+        **defaults)
+
+
 def seggpt_vit_large_patch16_input896x448(**kwargs) -> ModelConfig:
     """SegGPT ViT-L preset (models_seggpt.py:483-494)."""
     defaults = dict(
@@ -157,6 +181,8 @@ def tiny_test_config(**kwargs) -> ModelConfig:
 PRESETS = {
     "painter_vit_large_patch16_input896x448_win_dec64_8glb_sl1":
         painter_vit_large_patch16_input896x448_win_dec64_8glb_sl1,
+    "painter_vit_large_patch16_input896x448_windowed":
+        painter_vit_large_patch16_input896x448_windowed,
     "seggpt_vit_large_patch16_input896x448":
         seggpt_vit_large_patch16_input896x448,
     "tiny_test": tiny_test_config,

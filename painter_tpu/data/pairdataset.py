@@ -168,11 +168,16 @@ class PairDataset:
         else:
             mask = self.masking_generator(rng)
 
+        # mask/valid ship as uint8: their value sets are exactly
+        # {0, 1} and {0, 1, 10} (the pose fg weight above), the model
+        # casts to fp32 in-graph (forward_loss / forward_encoder), and
+        # the host->device feed drops from 115.6 to 86.8 MB per B=8
+        # flagship batch (valid is a full (H, W, 3) map)
         return {
             "imgs": np.asarray(image, np.float32),
             "tgts": np.asarray(target, np.float32),
-            "mask": mask.reshape(-1).astype(np.float32),
-            "valid": valid,
+            "mask": mask.reshape(-1).astype(np.uint8),
+            "valid": valid.astype(np.uint8),
         }
 
 

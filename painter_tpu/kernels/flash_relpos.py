@@ -758,6 +758,14 @@ def flash_attention_relpos(q, k, v, rel_pos_h, rel_pos_w,
         bwd_num_sub = 1 if rw_tile else 2
     if block_q is None:
         if lq < 784:
+            # one sublane-rounded tile. Measured at the ws=14 window
+            # shape (L=196, b=64 windows x 16 heads, 2026-08-19): the
+            # single 200-row tile is the forward optimum — 2.124 ms/app
+            # vs 2.662 (bq104) / 3.447 (bq56) / 2.507 (XLA). The
+            # BACKWARD at this shape loses to XLA (fwd+bwd 7.70 vs
+            # 5.98 ms/app): one ragged 200-row grid step can't hide the
+            # dK/dV accumulator traffic the way 1568-row shapes do —
+            # hence attn_impl="auto"'s train-time split (ops/attention).
             block_q = max(8, (lq + 7) // 8 * 8)
         elif lq % 784 == 0:
             block_q = 784  # flagship 448 grid: measured optimum

@@ -433,11 +433,22 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
     blocks = params["blocks"]
 
     def make_block(ws: int, groups: int):
+        # "auto" = measured per-shape dispatch (ROUND5.md, v5e
+        # 2026-08-19): the pallas kernel wins every measured FORWARD
+        # shape (L=196 window tile 2.12 vs XLA 2.51 ms/app; L=1568
+        # global 3.17 vs ~2x), but at the window tile XLA wins fwd+bwd
+        # (5.98 vs 7.70 ms/app — one ragged 200-row grid step can't
+        # hide the dK/dV accumulator traffic), so TRAINING a windowed
+        # segment routes to XLA while everything else keeps the kernel.
+        seg_impl = attn_impl
+        if seg_impl == "auto":
+            seg_impl = "xla" if (ws > 0 and train) else "pallas"
+
         def fn(bp, h, rate, key):
             return block_apply(bp, h, cfg, window_size=ws, dpr=rate,
                                ensemble_groups=groups,
                                ensemble_weights=ensemble_weights,
-                               train=train, rng=key, attn_impl=attn_impl,
+                               train=train, rng=key, attn_impl=seg_impl,
                                kernel_mesh=kernel_mesh)
         if not remat:
             return fn
@@ -459,7 +470,7 @@ def forward_encoder(params: Params, cfg: ModelConfig, imgs: jnp.ndarray,
         # attention recompute. Resolve them to the xla-path equivalent
         # ('attn_out', the post-proj named checkpoint) instead.
         kernel_names = ("attn_kernel_out", "attn_lse") \
-            if attn_impl == "pallas" else ("attn_out",)
+            if seg_impl == "pallas" else ("attn_out",)
         if remat_policy == "save_kernel":
             # keep the flash kernel's own outputs (out 25 MB + lse
             # 0.8 MB per block at ViT-L b8): the kernel forward is named

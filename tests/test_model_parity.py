@@ -180,6 +180,36 @@ def test_windowed_blocks_pallas_interpret():
     np.testing.assert_allclose(float(l_pal), float(l_xla), atol=1e-5)
 
 
+def test_attn_impl_auto_dispatch():
+    """attn_impl='auto' (windowed-train->xla, else pallas) matches the
+    uniform impls: fwd+loss in train mode, and grads vs xla. The split
+    is a measured v5e rule (ROUND5.md); numerics must be impl-invariant
+    at kernel tolerance regardless of the dispatch."""
+    cfg = configs.tiny_test_config(window_block_indexes=(1, 3, 4),
+                                   window_size=3)
+    params, imgs, tgts, mask, valid = _mk(cfg)
+    args = (params, cfg, jnp.asarray(imgs), jnp.asarray(tgts),
+            jnp.asarray(mask), jnp.asarray(valid))
+    l_xla, p_xla, _ = m.forward(*args, train=True)
+    l_auto, p_auto, _ = m.forward(*args, train=True, attn_impl="auto")
+    np.testing.assert_allclose(np.asarray(p_auto), np.asarray(p_xla),
+                               atol=1e-4)
+    np.testing.assert_allclose(float(l_auto), float(l_xla), atol=1e-5)
+
+    def loss_of(impl):
+        def f(p):
+            l, _, _ = m.forward(p, *args[1:], train=True, attn_impl=impl)
+            return l
+        return jax.grad(f)(params)
+
+    g_xla = loss_of("xla")
+    g_auto = loss_of("auto")
+    for ga, gx in zip(jax.tree_util.tree_leaves(g_auto),
+                      jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gx),
+                                   atol=2e-4)
+
+
 def test_parity_residual_bottleneck_blocks():
     """ResBottleneckBlock path (models_painter.py:92-150,232-233) —
     dead config in the reference factories but part of the model API."""

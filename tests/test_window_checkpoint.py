@@ -56,6 +56,23 @@ def test_init_has_window_tables():
     assert attn["rel_pos_w"].shape == (cfg.depth, 2 * gw - 1, cfg.head_dim)
 
 
+def test_windowed_preset():
+    """The de-bugged windowed flagship preset (configs.py): 16 windowed
+    blocks at ws=14 with the 8 intended globals (models_painter.py:481-482
+    as written before the misplaced comma), exact window tables on."""
+    cfg = configs.get_config("painter_vit_large_patch16_input896x448_windowed")
+    globals_ = set(range(cfg.depth)) - set(cfg.window_block_indexes)
+    assert globals_ == {2, 5, 8, 11, 14, 17, 20, 23}
+    assert len(cfg.window_block_indexes) == 16
+    assert cfg.window_size == 14
+    assert cfg.window_rel_pos_tables
+    # same trunk geometry as the flagship all-global preset
+    flag = configs.get_config(
+        "painter_vit_large_patch16_input896x448_win_dec64_8glb_sl1")
+    assert (cfg.img_size, cfg.depth, cfg.embed_dim, cfg.num_heads) == \
+        (flag.img_size, flag.depth, flag.embed_dim, flag.num_heads)
+
+
 def test_heterogeneous_state_dict_round_trip():
     """Export emits per-block table sizes exactly as the reference stores
     them; convert recovers the window tables bit-exactly."""
