@@ -80,7 +80,10 @@ def get_args_parser():
                         "pre-activation (+100 MB/block, gemm-free "
                         "recompute); 'save_dots' keeps every matmul output")
     p.add_argument("--attn_impl", default=None,
-                   help="xla | pallas (default: pallas on TPU)")
+                   help="xla | pallas | auto (default: auto on TPU — "
+                        "the kernel everywhere except windowed train "
+                        "segments, where XLA measured faster; identical "
+                        "to pallas for all-global presets. ROUND5.md)")
     p.add_argument("--decoder_impl", default="auto",
                    choices=["auto", "xla", "fused"],
                    help="'fused' = Pallas decoder-tail kernel for the "
@@ -216,7 +219,7 @@ def main(args=None):
                 for k, v in batch.items()}
 
     attn_impl = args.attn_impl or (
-        "pallas" if devices[0].platform == "tpu" else "xla")
+        "auto" if devices[0].platform == "tpu" else "xla")
     train_step = jax.jit(
         step_lib.make_train_step(
             cfg, optimizer, accum_iter=args.accum_iter, remat=args.remat,
